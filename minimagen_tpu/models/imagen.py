@@ -1,0 +1,518 @@
+"""Imagen cascade orchestrator: training losses + compiled sampling.
+
+Capability parity with the reference orchestrator (/root/reference/minimagen/
+Imagen.py:22-650): N U-Nets each with its own GaussianDiffusion schedule plus
+a separate low-res augmentation schedule, per-stage training loss
+(`forward`), cascade sampling with classifier-free guidance, dynamic
+thresholding (quantile p=0.9, clamp-min-1, Imagen.py:309-323), and
+noise-conditioning augmentation of the low-res conditioning image
+(train: shared random aug time per batch, Imagen.py:641-642; sample: fixed
+noise level, default 0.2, Imagen.py:479-485).
+
+TPU-first design:
+- **The entire reverse-diffusion loop is ONE `lax.scan`** per cascade stage,
+  jitted and cached per (batch, text-len, guided) signature — the reference
+  runs a Python loop with 2 sequential U-Net forwards per step
+  (Imagen.py:404-415, Unet.py:498-506).
+- **Classifier-free guidance is pair-batched**: cond and uncond run as one
+  forward over a 2b batch, then recombine as null + (cond-null)*scale.
+- **No device-swap machinery** (reference `_get_unet`/`_one_unet_in_gpu`,
+  Imagen.py:180-259): params are explicit pytrees living wherever the caller
+  shards them.
+- **Explicit PRNG keys** everywhere.
+- Images are NHWC float32 in [0,1] at the public boundary (``data_format``
+  converts from the reference's NCHW).
+
+Reference quirk preserved deliberately (documented): during *training* the
+low-res conditioning image is normalized to [-1,1] BEFORE augmentation
+noising (Imagen.py:549-558), while during *sampling* it is noised in [0,1]
+space and normalized after (Imagen.py:482-485 then :393) — so sampling-time
+augmentation noise is effectively doubled. We reproduce both orders exactly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.diffusion import GaussianDiffusion, create_gaussian_diffusion
+from ..ops.helpers import (
+    cast_tuple,
+    default,
+    exists,
+    identity,
+    maybe,
+    normalize_neg_one_to_one,
+    prob_mask_like,
+    right_pad_dims_to,
+    unnormalize_zero_to_one,
+)
+from ..ops.resize import resize_image_to
+from .t5 import get_encoded_dim, t5_encode_text
+from .unet import UnetConfig, UnetModel
+
+
+def _loss_fn(loss_type: str):
+    """l1 / l2 / huber per-element losses, mean-reduced (reference Imagen.py:138-155)."""
+    if loss_type == "l1":
+        return lambda pred, target: jnp.mean(jnp.abs(pred - target))
+    if loss_type == "l2":
+        return lambda pred, target: jnp.mean(jnp.square(pred - target))
+    if loss_type == "huber":
+        def smooth_l1(pred, target, beta=1.0):
+            d = jnp.abs(pred - target)
+            return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
+        return smooth_l1
+    raise NotImplementedError(f"unknown loss type {loss_type!r}")
+
+
+class Imagen:
+    """Cascading DDPM text-to-image model.
+
+    Same constructor surface as the reference (Imagen.py:27-42) so existing
+    `imagen_params_*.json` files load unchanged; `unets` takes
+    :class:`UnetConfig` objects (the reference takes torch modules).
+    """
+
+    def __init__(
+        self,
+        unets: Union[UnetConfig, Sequence[UnetConfig]],
+        *,
+        text_encoder_name: str,
+        image_sizes: Union[int, Sequence[int]],
+        text_embed_dim: Optional[int] = None,
+        channels: int = 3,
+        timesteps: Union[int, Sequence[int]] = 1000,
+        cond_drop_prob: float = 0.1,
+        loss_type: str = "l2",
+        lowres_sample_noise_level: float = 0.2,
+        auto_normalize_img: bool = True,
+        dynamic_thresholding_percentile: float = 0.9,
+        only_train_unet_number: Optional[int] = None,
+        dtype: Any = jnp.float32,
+    ):
+        self.loss_type = loss_type
+        self.loss_fn = _loss_fn(loss_type)
+        self.channels = channels
+        self.dtype = dtype
+
+        unet_configs = list(cast_tuple(unets))
+        num_unets = len(unet_configs)
+
+        # per-stage diffusion schedules (reference _make_noise_schedulers, Imagen.py:157-178)
+        ts = cast_tuple(timesteps, num_unets)
+        self.noise_schedulers: List[GaussianDiffusion] = [create_gaussian_diffusion(t) for t in ts]
+        # low-res augmentation schedule (reference Imagen.py:78 passes the raw
+        # `timesteps` ctor arg; we take the first stage's T for the tuple case)
+        self.lowres_noise_schedule = create_gaussian_diffusion(ts[0])
+
+        self.text_encoder_name = text_encoder_name
+        self.text_embed_dim = default(text_embed_dim, lambda: get_encoded_dim(text_encoder_name))
+
+        self.only_train_unet_number = only_train_unet_number
+
+        # force first unet to be base (no lowres cond), the rest super-res
+        # (reference Imagen.py:89-103)
+        self.unet_configs: List[UnetConfig] = []
+        for ind, cfg in enumerate(unet_configs):
+            assert isinstance(cfg, UnetConfig), "unets must be UnetConfig instances"
+            self.unet_configs.append(
+                cfg.cast_model_parameters(
+                    lowres_cond=ind != 0,
+                    text_embed_dim=self.text_embed_dim,
+                    channels=self.channels,
+                    channels_out=self.channels,
+                )
+            )
+        self.unets: List[UnetModel] = [UnetModel(config=c, dtype=dtype) for c in self.unet_configs]
+
+        self.image_sizes = cast_tuple(image_sizes)
+        assert num_unets == len(self.image_sizes), (
+            f"you did not supply the correct number of u-nets ({num_unets}) "
+            f"for resolutions {self.image_sizes}"
+        )
+        self.sample_channels = cast_tuple(self.channels, num_unets)
+
+        self.lowres_sample_noise_level = lowres_sample_noise_level
+        self.cond_drop_prob = cond_drop_prob
+        self.can_classifier_guidance = cond_drop_prob > 0.0
+
+        self.normalize_img = normalize_neg_one_to_one if auto_normalize_img else identity
+        self.unnormalize_img = unnormalize_zero_to_one if auto_normalize_img else identity
+        self.input_image_range = (0.0 if auto_normalize_img else -1.0, 1.0)
+
+        self.dynamic_thresholding_percentile = dynamic_thresholding_percentile
+
+        # optional attached params (set by init_params / load); every method
+        # also accepts explicit params for functional use
+        self.params: Optional[Dict[str, Any]] = None
+
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    # params                                                              #
+    # ------------------------------------------------------------------ #
+    @property
+    def num_unets(self) -> int:
+        return len(self.unets)
+
+    def init_params(self, key: jax.Array, *, batch_size: int = 2, text_len: int = 8) -> Dict[str, Any]:
+        """Initialize params for every stage; returns {'unet_0': ..., ...}."""
+        params: Dict[str, Any] = {}
+        keys = jax.random.split(key, self.num_unets)
+        for i, (model, cfg, size) in enumerate(zip(self.unets, self.unet_configs, self.image_sizes)):
+            x = jnp.zeros((batch_size, size, size, self.channels), jnp.float32)
+            time = jnp.zeros((batch_size,), jnp.int32)
+            text_embeds = jnp.zeros((batch_size, text_len, self.text_embed_dim), jnp.float32)
+            text_mask = jnp.ones((batch_size, text_len), jnp.bool_)
+            kwargs = dict(text_embeds=text_embeds, text_mask=text_mask)
+            if cfg.lowres_cond:
+                kwargs["lowres_cond_img"] = x
+                kwargs["lowres_noise_times"] = time
+            variables = model.init(keys[i], x, time, **kwargs)
+            params[f"unet_{i}"] = variables["params"]
+        self.params = params
+        return params
+
+    def _get_params(self, params):
+        params = default(params, self.params)
+        assert exists(params), "no params: call init_params()/load first or pass params explicitly"
+        return params
+
+    # ------------------------------------------------------------------ #
+    # guided forward (pair-batched CFG)                                   #
+    # ------------------------------------------------------------------ #
+    def _unet_forward(self, stage, unet_params, x, t, *, text_embeds, text_mask,
+                      lowres_cond_img, lowres_noise_times, text_keep_mask=None):
+        return self.unets[stage].apply(
+            {"params": unet_params}, x, t,
+            text_embeds=text_embeds, text_mask=text_mask, text_keep_mask=text_keep_mask,
+            lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
+        )
+
+    def _cfg_forward(self, stage, unet_params, x, t, *, text_embeds, text_mask,
+                     lowres_cond_img, lowres_noise_times, cond_scale):
+        """One pair-batched forward: rows [0:b] conditioned, [b:2b] null.
+
+        Replaces the reference's two sequential forwards
+        (`forward_with_cond_scale`, Unet.py:474-506).
+        """
+        b = x.shape[0]
+        dup = lambda a: None if a is None else jnp.concatenate([a, a], axis=0)
+        keep = jnp.concatenate(
+            [jnp.ones((b,), jnp.bool_), jnp.zeros((b,), jnp.bool_)], axis=0
+        )
+        out = self._unet_forward(
+            stage, unet_params, dup(x), dup(t),
+            text_embeds=dup(text_embeds), text_mask=dup(text_mask),
+            lowres_cond_img=dup(lowres_cond_img), lowres_noise_times=dup(lowres_noise_times),
+            text_keep_mask=keep,
+        )
+        logits, null_logits = out[:b], out[b:]
+        return null_logits + (logits - null_logits) * cond_scale
+
+    # ------------------------------------------------------------------ #
+    # sampling                                                            #
+    # ------------------------------------------------------------------ #
+    def _p_mean_variance(self, stage, scheduler, unet_params, x, t, *, text_embeds, text_mask,
+                         lowres_cond_img, lowres_noise_times, cond_scale, guided: bool):
+        """Predict noise, recover x0, dynamic-threshold it, return posterior
+        parameters (reference Imagen.py:261-326)."""
+        if guided:
+            pred = self._cfg_forward(
+                stage, unet_params, x, t, text_embeds=text_embeds, text_mask=text_mask,
+                lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
+                cond_scale=cond_scale,
+            )
+        else:
+            pred = self._unet_forward(
+                stage, unet_params, x, t, text_embeds=text_embeds, text_mask=text_mask,
+                lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
+            )
+
+        x_start = scheduler.predict_start_from_noise(x, t=t, noise=pred)
+
+        # dynamic thresholding: per-image s = quantile(|x0|, p) clamped >= 1;
+        # clamp to +/- s and divide by s (reference Imagen.py:309-323)
+        b = x_start.shape[0]
+        s = jnp.quantile(
+            jnp.abs(x_start.reshape(b, -1)).astype(jnp.float32),
+            self.dynamic_thresholding_percentile,
+            axis=-1,
+        )
+        s = jnp.clip(s, 1.0, None)
+        s = right_pad_dims_to(x_start, s).astype(x_start.dtype)
+        x_start = jnp.clip(x_start, -s, s) / s
+
+        return scheduler.q_posterior(x_start=x_start, x_t=x, t=t)
+
+    def _build_sample_stage(self, stage: int, guided: bool):
+        """A jittable full reverse-diffusion pass for one cascade stage.
+
+        Returns fn(params, key, shape-bearing args...) -> [0,1] images.
+        The timestep loop is a single `lax.scan` (compare the reference's
+        per-step Python loop, Imagen.py:372-420).
+        """
+        scheduler = self.noise_schedulers[stage]
+        has_lowres = self.unet_configs[stage].lowres_cond
+
+        def sample_fn(unet_params, key, text_embeds, text_mask, cond_scale,
+                      lowres_cond_img=None, lowres_noise_times=None, init_noise=None):
+            b = text_embeds.shape[0]
+            size = self.image_sizes[stage]
+            shape = (b, size, size, self.sample_channels[stage])
+
+            # normalize the (already noised, see sample()) low-res conditioning
+            # image — reference order, Imagen.py:393
+            lowres = maybe(self.normalize_img)(lowres_cond_img) if has_lowres else None
+
+            key, init_key = jax.random.split(key)
+            img = default(init_noise, lambda: jax.random.normal(init_key, shape, jnp.float32))
+
+            times = scheduler.sampling_timesteps()  # (T,) descending
+
+            def step(carry, t_scalar):
+                img, key = carry
+                key, noise_key = jax.random.split(key)
+                t = jnp.full((b,), t_scalar, jnp.int32)
+                mean, _, log_var = self._p_mean_variance(
+                    stage, scheduler, unet_params, img, t,
+                    text_embeds=text_embeds, text_mask=text_mask,
+                    lowres_cond_img=lowres, lowres_noise_times=lowres_noise_times,
+                    cond_scale=cond_scale, guided=guided,
+                )
+                noise = jax.random.normal(noise_key, img.shape, img.dtype)
+                nonzero = (t_scalar > 0).astype(img.dtype)  # no noise at t=0 (Imagen.py:363-365)
+                img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+                return (img, key), None
+
+            (img, _), _ = jax.lax.scan(step, (img, key), times)
+            img = jnp.clip(img, -1.0, 1.0)
+            return self.unnormalize_img(img)
+
+        return sample_fn
+
+    def _jitted_sample_stage(self, stage: int, guided: bool):
+        cache_key = ("sample", stage, guided)
+        if cache_key not in self._jit_cache:
+            self._jit_cache[cache_key] = jax.jit(self._build_sample_stage(stage, guided))
+        return self._jit_cache[cache_key]
+
+    def sample(
+        self,
+        texts: Optional[List[str]] = None,
+        text_masks: Optional[jnp.ndarray] = None,
+        text_embeds: Optional[jnp.ndarray] = None,
+        cond_scale: float = 1.0,
+        lowres_sample_noise_level: Optional[float] = None,
+        return_pil_images: bool = False,
+        *,
+        params: Optional[Dict[str, Any]] = None,
+        key: Optional[jax.Array] = None,
+        return_all_stage_outputs: bool = False,
+        data_format: str = "NHWC",
+    ):
+        """Generate images for captions (reference Imagen.py:422-510).
+
+        :param cond_scale: classifier-free guidance scale (1 = plain conditional).
+        :param lowres_sample_noise_level: fixed noise-augmentation level for
+            super-res conditioning (defaults to the constructor value, 0.2).
+        :param params: explicit param pytree ({'unet_0': ...}); defaults to
+            the attached `self.params`.
+        :param key: PRNG key (defaults to a fixed seed — pass your own for
+            varied samples).
+        :param data_format: 'NHWC' (native) or 'NCHW' (reference layout) for
+            the returned array.
+        :return: (b, s, s, c) images in [0,1] from the final stage, or PIL
+            images if `return_pil_images`.
+        """
+        params = self._get_params(params)
+        key = default(key, lambda: jax.random.PRNGKey(0))
+
+        if exists(texts) and not exists(text_embeds):
+            text_embeds, text_masks = t5_encode_text(texts, name=self.text_encoder_name)
+        assert exists(text_embeds), "text or text encodings must be passed into Imagen"
+        assert text_embeds.shape[-1] == self.text_embed_dim, (
+            f"invalid text embedding dimension {text_embeds.shape[-1]} "
+            f"(should be {self.text_embed_dim})"
+        )
+        text_embeds = jnp.asarray(text_embeds, jnp.float32)
+        text_masks = jnp.asarray(text_masks, jnp.bool_) if exists(text_masks) else None
+
+        batch_size = text_embeds.shape[0]
+        noise_level = default(lowres_sample_noise_level, self.lowres_sample_noise_level)
+
+        if cond_scale != 1.0:
+            assert self.can_classifier_guidance, (
+                "imagen was not trained with conditional dropout, and thus one "
+                "cannot use classifier free guidance (cond_scale other than 1)"
+            )
+        guided = cond_scale != 1.0
+
+        img = None
+        outputs = []
+        for stage in range(self.num_unets):
+            key, stage_key, aug_key = jax.random.split(key, 3)
+            lowres_cond_img = lowres_noise_times = None
+            if self.unet_configs[stage].lowres_cond:
+                # noise the previous stage's output at a fixed level, in [0,1]
+                # space (reference order, Imagen.py:479-485)
+                lowres_noise_times = self.lowres_noise_schedule.get_times(batch_size, noise_level)
+                lowres_cond_img = resize_image_to(img, self.image_sizes[stage])
+                lowres_cond_img = self.lowres_noise_schedule.q_sample(
+                    x_start=lowres_cond_img, t=lowres_noise_times,
+                    noise=jax.random.normal(aug_key, lowres_cond_img.shape, lowres_cond_img.dtype),
+                )
+
+            sample_fn = self._jitted_sample_stage(stage, guided)
+            img = sample_fn(
+                params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
+                jnp.float32(cond_scale), lowres_cond_img, lowres_noise_times,
+            )
+            if return_all_stage_outputs:
+                outputs.append(img)
+
+        if return_pil_images:
+            return [_to_pil(np.asarray(im)) for im in img]
+
+        result = outputs if return_all_stage_outputs else img
+        if data_format == "NCHW":
+            tr = lambda a: jnp.transpose(a, (0, 3, 1, 2))
+            result = [tr(r) for r in result] if isinstance(result, list) else tr(result)
+        return result
+
+    # ------------------------------------------------------------------ #
+    # training loss                                                       #
+    # ------------------------------------------------------------------ #
+    def _p_losses(self, stage, unet_params, x_start, times, *, key, text_embeds, text_mask,
+                  lowres_cond_img=None, lowres_aug_times=None):
+        """Noise inputs, predict noise, compute loss (reference Imagen.py:512-573)."""
+        scheduler = self.noise_schedulers[stage]
+        noise_key, lowres_key, drop_key = jax.random.split(key, 3)
+
+        noise = jax.random.normal(noise_key, x_start.shape, jnp.float32)
+        x_start = self.normalize_img(x_start)
+        lowres_cond_img = maybe(self.normalize_img)(lowres_cond_img)
+
+        x_noisy = scheduler.q_sample(x_start=x_start, t=times, noise=noise)
+
+        lowres_cond_img_noisy = None
+        if exists(lowres_cond_img):
+            lowres_aug_times = default(lowres_aug_times, times)
+            lowres_cond_img_noisy = self.lowres_noise_schedule.q_sample(
+                x_start=lowres_cond_img, t=lowres_aug_times,
+                noise=jax.random.normal(lowres_key, lowres_cond_img.shape, jnp.float32),
+            )
+
+        keep_mask = prob_mask_like(drop_key, (x_start.shape[0],), 1.0 - self.cond_drop_prob)
+        pred = self._unet_forward(
+            stage, unet_params, x_noisy, times,
+            text_embeds=text_embeds, text_mask=text_mask, text_keep_mask=keep_mask,
+            lowres_cond_img=lowres_cond_img_noisy, lowres_noise_times=lowres_aug_times,
+        )
+        return self.loss_fn(pred, noise)
+
+    def stage_loss_fn(self, stage: int):
+        """Pure per-stage loss: (unet_params, images, text_embeds, text_mask, key) -> loss.
+
+        `images` are full-resolution [0,1] NHWC; resizing to the stage's size
+        and low-res pair construction happen inside (traced, static shapes) —
+        mirrors reference `forward` (Imagen.py:575-650).
+        """
+        target_size = self.image_sizes[stage]
+        prev_size = self.image_sizes[stage - 1] if stage > 0 else None
+
+        def loss_fn(unet_params, images, text_embeds, text_mask, key):
+            b, h, w, c = images.shape
+            assert c == self.channels, f"images must have {self.channels} channels"
+            assert h >= target_size and w >= target_size
+
+            times_key, aug_key, p_key = jax.random.split(key, 3)
+            times = self.noise_schedulers[stage].sample_random_times(times_key, b)
+
+            lowres_cond_img = lowres_aug_times = None
+            if exists(prev_size):
+                # down-then-up resize builds the blurred conditioning pair
+                # (reference Imagen.py:636-639)
+                lowres_cond_img = resize_image_to(images, prev_size, clamp_range=self.input_image_range)
+                lowres_cond_img = resize_image_to(lowres_cond_img, target_size, clamp_range=self.input_image_range)
+                # one shared random aug time per batch (reference Imagen.py:641-642)
+                aug_time = self.lowres_noise_schedule.sample_random_times(aug_key, 1)
+                lowres_aug_times = jnp.repeat(aug_time, b)
+
+            images_r = resize_image_to(images, target_size)
+            return self._p_losses(
+                stage, unet_params, images_r, times, key=p_key,
+                text_embeds=text_embeds, text_mask=text_mask,
+                lowres_cond_img=lowres_cond_img, lowres_aug_times=lowres_aug_times,
+            )
+
+        return loss_fn
+
+    def forward(
+        self,
+        images,
+        texts: Optional[List[str]] = None,
+        text_embeds=None,
+        text_masks=None,
+        unet_number: Optional[int] = None,
+        *,
+        params: Optional[Dict[str, Any]] = None,
+        key: Optional[jax.Array] = None,
+        data_format: str = "NHWC",
+    ):
+        """Training loss for one stage (reference Imagen.py:575-650).
+
+        Jitted per (stage, image shape, text len); pass `data_format='NCHW'`
+        for reference-layout images.
+        """
+        assert not (self.num_unets > 1 and not exists(unet_number)), (
+            f"you must specify which unet you want trained, from a range of 1 "
+            f"to {self.num_unets}, if you are training cascading DDPM"
+        )
+        unet_number = default(unet_number, 1)
+        assert (
+            not exists(self.only_train_unet_number)
+            or self.only_train_unet_number == unet_number
+        ), f"you can only train on unet #{self.only_train_unet_number}"
+        stage = unet_number - 1
+
+        params = self._get_params(params)
+        key = default(key, lambda: jax.random.PRNGKey(0))
+
+        images = jnp.asarray(images, jnp.float32)
+        if data_format == "NCHW":
+            images = jnp.transpose(images, (0, 2, 3, 1))
+
+        if exists(texts) and not exists(text_embeds):
+            assert len(texts) == images.shape[0], (
+                "number of text captions does not match up with the number of images given"
+            )
+            text_embeds, text_masks = t5_encode_text(texts, name=self.text_encoder_name)
+        assert exists(text_embeds), "text or text encodings must be passed into decoder"
+        assert text_embeds.shape[-1] == self.text_embed_dim, (
+            f"invalid text embedding dimension (should be {self.text_embed_dim})"
+        )
+        text_embeds = jnp.asarray(text_embeds, jnp.float32)
+        text_masks = jnp.asarray(text_masks, jnp.bool_) if exists(text_masks) else None
+
+        cache_key = ("loss", stage)
+        if cache_key not in self._jit_cache:
+            self._jit_cache[cache_key] = jax.jit(self.stage_loss_fn(stage))
+        return self._jit_cache[cache_key](params[f"unet_{stage}"], images, text_embeds, text_masks, key)
+
+    __call__ = forward
+
+
+def _to_pil(arr: np.ndarray):
+    """[0,1] float NHWC image -> PIL.Image."""
+    from PIL import Image  # noqa: PLC0415
+
+    arr = np.clip(arr, 0.0, 1.0)
+    arr = (arr * 255.0 + 0.5).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    return Image.fromarray(arr)

@@ -1,0 +1,147 @@
+"""Frozen text-encoder layer.
+
+Capability parity with the reference T5 wrapper (/root/reference/minimagen/
+t5.py:1-90): the same 10-variant registry (name -> HF handle / encoding dim /
+size), `t5_encode_text(text, name, max_length)` returning the last hidden
+state with masked positions zeroed plus a boolean attention mask, and
+`get_encoded_dim(name)`.
+
+Differences:
+- Returns numpy/JAX arrays (the framework is torch-free on the compute path).
+  The T5 model itself runs via HuggingFace transformers on the host when the
+  checkpoint is available (it is frozen and used once per caption, so it is
+  pre-encoding work, not accelerator work — the reference likewise runs it
+  under no_grad, t5.py:74-79).
+- **Offline fallback**: when the checkpoint cannot be loaded (no network, no
+  cache), a deterministic hash-based encoder produces stable pseudo-embeddings
+  with the correct (b, L, dim) shape/mask semantics so that the entire
+  training/sampling pipeline runs end-to-end offline.  The fallback is
+  deterministic across processes (seeded per-token by a stable hash), which
+  preserves the "frozen encoder" property training relies on.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import warnings
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+MAX_LENGTH = 256  # reference t5.py:5
+
+DEFAULT_T5_NAME = "t5_small"
+
+# name -> handle / encoding dim / approx size in GB (reference t5.py:10-21)
+T5_VERSIONS = {
+    "t5_small": {"handle": "t5-small", "dim": 512, "size": 0.24},
+    "t5_base": {"handle": "t5-base", "dim": 768, "size": 0.890},
+    "t5_large": {"handle": "t5-large", "dim": 1024, "size": 2.75},
+    "t5_3b": {"handle": "t5-3b", "dim": 1024, "size": 10.6},
+    "t5_11b": {"handle": "t5-11b", "dim": 1024, "size": 42.1},
+    "small1.1": {"handle": "google/t5-v1_1-small", "dim": 512, "size": 0.3},
+    "base1.1": {"handle": "google/t5-v1_1-base", "dim": 768, "size": 0.99},
+    "large1.1": {"handle": "google/t5-v1_1-large", "dim": 1024, "size": 3.13},
+    "xl1.1": {"handle": "google/t5-v1_1-xl", "dim": 2048, "size": 11.4},
+    "xxl1.1": {"handle": "google/t5-v1_1-xxl", "dim": 4096, "size": 44.5},
+}
+
+_MODELS: dict = {}  # lazy (tokenizer, model) cache per name
+_FALLBACK_WARNED = set()
+
+# force the hash fallback (used by tests / offline CI)
+FORCE_FALLBACK_ENV = "MINIMAGEN_TPU_T5_FALLBACK"
+
+
+def get_encoded_dim(name: str) -> int:
+    """Encoding dimensionality of a T5 variant (reference t5.py:87-90)."""
+    return T5_VERSIONS[name]["dim"]
+
+
+def _try_load_hf(name: str):
+    """Load (tokenizer, torch encoder) from the HF cache/network; None on failure."""
+    if name in _MODELS:
+        return _MODELS[name]
+    if os.environ.get(FORCE_FALLBACK_ENV):
+        return None
+    try:
+        from transformers import T5EncoderModel, T5Tokenizer  # noqa: PLC0415
+
+        handle = T5_VERSIONS[name]["handle"]
+        tok = T5Tokenizer.from_pretrained(handle)
+        model = T5EncoderModel.from_pretrained(handle)
+        model.eval()
+        _MODELS[name] = (tok, model)
+        return _MODELS[name]
+    except Exception:
+        return None
+
+
+# --------------------------------------------------------------------------- #
+# deterministic offline fallback                                              #
+# --------------------------------------------------------------------------- #
+def _hash_token_embedding(token: str, dim: int) -> np.ndarray:
+    """Stable pseudo-embedding for a token: unit-ish gaussian seeded by a
+    cryptographic hash of the token text.  Deterministic across processes."""
+    digest = hashlib.sha256(token.encode("utf-8")).digest()
+    seed = int.from_bytes(digest[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def _fallback_encode(texts: List[str], name: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+    dim = get_encoded_dim(name)
+    tokenized = [t.lower().split()[:max_length] for t in texts]
+    longest = max((len(t) for t in tokenized), default=1)
+    longest = max(longest, 1)
+    enc = np.zeros((len(texts), longest, dim), dtype=np.float32)
+    mask = np.zeros((len(texts), longest), dtype=bool)
+    for i, toks in enumerate(tokenized):
+        for j, tok in enumerate(toks):
+            emb = _hash_token_embedding(tok, dim)
+            # mix in position so word order matters (cheap positional signal)
+            pos = _hash_token_embedding(f"<pos{j}>", dim)
+            enc[i, j] = (emb + 0.1 * pos) / np.sqrt(1.01)
+            mask[i, j] = True
+    return enc, mask
+
+
+def t5_encode_text(
+    text: List[str],
+    name: str = "t5_base",
+    max_length: int = MAX_LENGTH,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode captions with a frozen T5 encoder (reference t5.py:31-84).
+
+    :param text: list of caption strings.
+    :param name: registry key (see :data:`T5_VERSIONS`).
+    :param max_length: truncation length (longest-padding within the batch,
+        like the reference tokenizer call, t5.py:63-69).
+    :return: (encodings (b, L, dim) float32 with masked rows zeroed,
+        mask (b, L) bool).
+    """
+    loaded = _try_load_hf(name)
+    if loaded is None:
+        if name not in _FALLBACK_WARNED:
+            _FALLBACK_WARNED.add(name)
+            warnings.warn(
+                f"T5 checkpoint '{T5_VERSIONS[name]['handle']}' unavailable "
+                f"(offline / no cache) — using the deterministic hash text "
+                f"encoder. Shapes and masks match the real encoder; semantic "
+                f"quality does not.",
+                stacklevel=2,
+            )
+        return _fallback_encode(text, name, max_length)
+
+    import torch  # noqa: PLC0415  (host-side pre-encoding only)
+
+    tokenizer, model = loaded
+    tokenized = tokenizer.batch_encode_plus(
+        text, padding="longest", max_length=max_length, truncation=True, return_tensors="pt"
+    )
+    with torch.no_grad():
+        out = model(input_ids=tokenized.input_ids, attention_mask=tokenized.attention_mask)
+        final_encoding = out.last_hidden_state
+    mask = tokenized.attention_mask.bool()
+    final_encoding = final_encoding.masked_fill(~mask.unsqueeze(-1), 0.0)
+    return final_encoding.numpy().astype(np.float32), mask.numpy()

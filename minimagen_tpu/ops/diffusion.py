@@ -1,0 +1,141 @@
+"""Gaussian diffusion math as a frozen pytree of schedule buffers + pure functions.
+
+Capability parity with the reference scheduler (/root/reference/minimagen/
+diffusion_model.py:8-162) with identical numerics:
+
+- linear beta schedule scaled by 1000/T, beta in [scale*1e-4, scale*0.02],
+  computed in float64 and stored as float32 buffers (reference :28-66),
+- `q_sample`, `q_posterior`, `predict_start_from_noise` with the DDPM
+  closed forms (https://arxiv.org/abs/2006.11239),
+- T >= 20 assertion (below that beta_end > 1 and the schedule NaNs,
+  reference :23-24).
+
+Design differences (TPU-first):
+- The scheduler is a `flax.struct` dataclass: an immutable pytree that can be
+  closed over by / passed through `jit`, `scan`, and `pjit` with zero host
+  sync.  The reference instead subclasses nn.Module and registers buffers.
+- Random sampling takes explicit `jax.random` keys.
+- `sampling_timesteps()` returns one (T,) descending array that drives a
+  single `lax.scan` (the reference materializes a Python list of T tensors,
+  diffusion_model.py:81-87, driving a Python loop).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .helpers import extract
+
+
+@struct.dataclass
+class GaussianDiffusion:
+    """Immutable diffusion schedule. Build with :func:`create_gaussian_diffusion`."""
+
+    num_timesteps: int = struct.field(pytree_node=False)
+
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    alphas_cumprod_prev: jnp.ndarray
+    sqrt_alphas_cumprod: jnp.ndarray
+    sqrt_one_minus_alphas_cumprod: jnp.ndarray
+    log_one_minus_alphas_cumprod: jnp.ndarray
+    sqrt_recip_alphas_cumprod: jnp.ndarray
+    sqrt_recipm1_alphas_cumprod: jnp.ndarray
+    posterior_variance: jnp.ndarray
+    posterior_log_variance_clipped: jnp.ndarray
+    posterior_mean_coef1: jnp.ndarray
+    posterior_mean_coef2: jnp.ndarray
+
+    # ------------------------------------------------------------------ #
+    # forward process                                                    #
+    # ------------------------------------------------------------------ #
+    def q_sample(self, x_start: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+        """x_t = sqrt(abar_t) x_0 + sqrt(1 - abar_t) eps  (reference :127-147)."""
+        nd = x_start.ndim
+        return (
+            extract(self.sqrt_alphas_cumprod, t, nd) * x_start
+            + extract(self.sqrt_one_minus_alphas_cumprod, t, nd) * noise
+        )
+
+    def predict_start_from_noise(self, x_t: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+        """Invert epsilon-prediction to recover x_0 (reference :149-162)."""
+        nd = x_t.ndim
+        return (
+            extract(self.sqrt_recip_alphas_cumprod, t, nd) * x_t
+            - extract(self.sqrt_recipm1_alphas_cumprod, t, nd) * noise
+        )
+
+    def q_posterior(self, x_start: jnp.ndarray, x_t: jnp.ndarray, t: jnp.ndarray):
+        """Posterior q(x_{t-1} | x_t, x_0) mean / variance / clipped log-variance.
+
+        Reference :89-125.  Returns tensors shaped (b,c-dims...) for the mean
+        and (b,1,..,1) for the variances.
+        """
+        nd = x_t.ndim
+        posterior_mean = (
+            extract(self.posterior_mean_coef1, t, nd) * x_start
+            + extract(self.posterior_mean_coef2, t, nd) * x_t
+        )
+        posterior_variance = extract(self.posterior_variance, t, nd)
+        posterior_log_variance_clipped = extract(self.posterior_log_variance_clipped, t, nd)
+        return posterior_mean, posterior_variance, posterior_log_variance_clipped
+
+    # ------------------------------------------------------------------ #
+    # time sampling                                                      #
+    # ------------------------------------------------------------------ #
+    def sample_random_times(self, key: jax.Array, batch_size: int) -> jnp.ndarray:
+        """Uniform integer timesteps in [0, T) (reference :71-79)."""
+        return jax.random.randint(key, (batch_size,), 0, self.num_timesteps, dtype=jnp.int32)
+
+    def get_times(self, batch_size: int, noise_level: float) -> jnp.ndarray:
+        """Full batch of the timestep at a fixed noise level (reference :68-69)."""
+        return jnp.full((batch_size,), int(self.num_timesteps * noise_level), dtype=jnp.int32)
+
+    def sampling_timesteps(self) -> jnp.ndarray:
+        """Descending (T,) int32 timestep array: T-1, ..., 1, 0.
+
+        Drives the compiled `lax.scan` sampler; equivalent content to the
+        reference's list of per-step tensors (diffusion_model.py:81-87).
+        """
+        return jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+
+
+def create_gaussian_diffusion(timesteps: int) -> GaussianDiffusion:
+    """Build the schedule in float64 numpy; store float32 device buffers.
+
+    Mirrors the reference constructor's numerics exactly
+    (diffusion_model.py:13-66), including the 1e-20 clip on the posterior
+    variance before the log.
+    """
+    assert not timesteps < 20, "timesteps must be at least 20"
+
+    scale = 1000.0 / timesteps
+    beta_start = scale * 0.0001
+    beta_end = scale * 0.02
+    betas = np.linspace(beta_start, beta_end, timesteps, dtype=np.float64)
+
+    alphas = 1.0 - betas
+    alphas_cumprod = np.cumprod(alphas, axis=0)
+    alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
+
+    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+
+    return GaussianDiffusion(
+        num_timesteps=timesteps,
+        betas=f32(betas),
+        alphas_cumprod=f32(alphas_cumprod),
+        alphas_cumprod_prev=f32(alphas_cumprod_prev),
+        sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
+        log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+        posterior_variance=f32(posterior_variance),
+        posterior_log_variance_clipped=f32(np.log(np.clip(posterior_variance, 1e-20, None))),
+        posterior_mean_coef1=f32(betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),
+        posterior_mean_coef2=f32((1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)),
+    )

@@ -1,0 +1,15 @@
+"""Test config: run on a virtual 8-device CPU mesh, force the offline T5 path.
+
+Environment must be set before jax is first imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("MINIMAGEN_TPU_T5_FALLBACK", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
