@@ -1,0 +1,75 @@
+"""Headline benchmark: guided denoise steps/sec on the flagship base-64px
+U-Net (one step = pair-batched cond+uncond forward + posterior math, i.e. the
+unit of reverse-diffusion work — the reference spends 2 sequential forwards
+per step here, Imagen.py:404-415 + Unet.py:498-506).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: value / 1000. The BASELINE.md north star is a 64->256 cascade
+under 1 s/image; at T=1000 for the base stage that requires ~1000 guided
+steps/sec, so vs_baseline >= 1.0 on the base stage means the north-star rate.
+(The reference publishes no numbers of its own — BASELINE.md.)
+
+Env knobs: BENCH_BATCH (default 4), BENCH_STEPS (default 30), BENCH_DTYPE
+(bfloat16|float32, default bfloat16).
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+
+    from __graft_entry__ import _flagship_imagen
+
+    imagen = _flagship_imagen(dtype=dtype)
+    L = 64
+    key = jax.random.PRNGKey(0)
+    params = imagen.init_params(key, batch_size=2, text_len=L)["unet_0"]
+    scheduler = imagen.noise_schedulers[0]
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 64, 64, 3)), jnp.float32)
+    text_embeds = jnp.asarray(rng.normal(size=(batch, L, 768)), jnp.float32)
+    text_mask = jnp.ones((batch, L), jnp.bool_)
+
+    @jax.jit
+    def denoise_step(params, x, t, noise_key):
+        mean, _, log_var = imagen._p_mean_variance(
+            0, scheduler, params, x, t, text_embeds=text_embeds, text_mask=text_mask,
+            lowres_cond_img=None, lowres_noise_times=None,
+            cond_scale=jnp.float32(3.0), guided=True,
+        )
+        noise = jax.random.normal(noise_key, x.shape, x.dtype)
+        return mean + jnp.exp(0.5 * log_var) * noise
+
+    t = jnp.full((batch,), 500, jnp.int32)
+    # warmup / compile
+    x1 = denoise_step(params, x, t, jax.random.PRNGKey(1))
+    x1.block_until_ready()
+
+    start = time.perf_counter()
+    xi = x
+    for i in range(steps):
+        xi = denoise_step(params, xi, t, jax.random.PRNGKey(i))
+    xi.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    steps_per_sec = steps / elapsed
+    print(json.dumps({
+        "metric": "base64px_guided_denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Inference CLI — same flags and behavior as the reference inference.py
+(/root/reference/inference.py:1-29): --CAPTIONS (single string or .txt file of
+lines, default "a happy dog") + --TRAINING_DIRECTORY, sampling at
+cond_scale=3.
+"""
+from argparse import ArgumentParser
+
+from minimagen_tpu.generate import sample_and_save
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("-c", "--CAPTIONS", dest="CAPTIONS",
+                        help="Single caption to generate for or filepath for .txt file of captions to generate for",
+                        default=None, type=str)
+    parser.add_argument("-d", "--TRAINING_DIRECTORY", dest="TRAINING_DIRECTORY",
+                        help="Training directory to use for inference", type=str)
+    args = parser.parse_args()
+
+    if args.CAPTIONS is None:
+        print('\nNo caption supplied - using the default of "a happy dog".\n')
+        captions = ["a happy dog"]
+    elif not args.CAPTIONS.endswith(".txt"):
+        captions = [args.CAPTIONS]
+    else:
+        with open(args.CAPTIONS, "r") as f:
+            lines = f.readlines()
+        captions = [line[:-1] if line.endswith("\n") else line for line in lines]
+
+    sample_and_save(captions, training_directory=args.TRAINING_DIRECTORY,
+                    sample_args={"cond_scale": 3.0})
+
+
+if __name__ == "__main__":
+    main()

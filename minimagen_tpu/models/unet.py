@@ -376,7 +376,7 @@ class UnetModel(nn.Module):
 
         # MIDDLE (reference Unet.py:263-278, forward :437-440)
         mid_dim = cfg.dim * cfg.dim_mults[-1]
-        mid_groups = layer_params[-1][3]
+        mid_groups = layer_params[-1][2]  # resnet_groups of the deepest layer
         x = ResnetBlock(
             mid_dim, mid_dim, cond_dim=cond_dim, time_cond_dim=tcd, groups=mid_groups,
             dtype=self.dtype, name="mid_block1",
@@ -426,7 +426,7 @@ class UnetModel(nn.Module):
 
         # final block + projection (reference Unet.py:317-328, forward :468-472)
         x = ResnetBlock(
-            cfg.dim, cfg.dim, time_cond_dim=tcd, groups=layer_params[0][3],
+            cfg.dim, cfg.dim, time_cond_dim=tcd, groups=layer_params[0][2],
             dtype=self.dtype, name="final_res_block",
         )(x, t)
         out = nn.Conv(

@@ -50,7 +50,15 @@ def multi_query_attention(
 
     Returns (b, h, n, d) in q's dtype.  `q` must already be scaled by the
     caller (matching reference layers.py:61).  `mask` (b, j) True=keep.
+
+    Dispatches to the Pallas fused kernel on TPU when no mask/bias is given
+    (the U-Net's hot path); falls back to plain XLA otherwise.
     """
+    if mask is None and attn_bias is None:
+        from .flash_attention import mqa_flash, pallas_enabled  # noqa: PLC0415
+
+        if pallas_enabled():
+            return mqa_flash(q, k, v)
     sim = jnp.einsum("bhnd,bjd->bhnj", q, k, preferred_element_type=jnp.float32)
     if attn_bias is not None:
         sim = sim + attn_bias
@@ -71,7 +79,13 @@ def multi_head_attention(
     """Standard MHA: q (b, h, n, d); k/v (b, h, j, d); mask (b, j) True=keep.
 
     `q` must already be scaled.  Softmax in float32 (reference layers.py:247).
+    Dispatches to the Pallas fused kernel on TPU when unmasked.
     """
+    if mask is None:
+        from .flash_attention import mha_flash, pallas_enabled  # noqa: PLC0415
+
+        if pallas_enabled():
+            return mha_flash(q, k, v)
     sim = jnp.einsum("bhnd,bhjd->bhnj", q, k, preferred_element_type=jnp.float32)
     if mask is not None:
         mask = mask[:, None, None, :]

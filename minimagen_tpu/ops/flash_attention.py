@@ -1,0 +1,210 @@
+"""Pallas TPU fused attention kernels (forward) with XLA-recompute backward.
+
+The U-Net's hot attention shapes (SURVEY.md §5 "long-context" note): spatial
+self-attention over up to 64x64=4096 tokens with a shared single K/V head
+(multi-query, reference layers.py:42), and cross-attention over ~259
+conditioning tokens.  The K/V streams are tiny (J x 64 floats <= ~1 MB) and
+fit in VMEM whole, so the kernels tile the *query* axis and fuse
+QK^T -> f32 softmax -> PV into one VMEM-resident pass per tile — the (N x J)
+logits matrix never touches HBM (a plain XLA einsum materializes it:
+b*h*4096*4097 floats ~ 0.5 GB per forward at b=8).
+
+Gradients: `jax.custom_vjp` with the standard attention backward recomputed
+in XLA ops — training works through the Pallas forward; a fused backward
+kernel is a later optimization.
+
+Use `attention_dispatch`-level helpers in ops/attention.py; these kernels
+assume no mask / no bias (the U-Net paths never pass one — padded text rows
+are replaced by learned null embeddings, reference Unet.py:598-606).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+
+_DISABLE_ENV = "MINIMAGEN_TPU_DISABLE_PALLAS"
+_INTERPRET_ENV = "MINIMAGEN_TPU_PALLAS_INTERPRET"
+
+
+def pallas_enabled() -> bool:
+    if os.environ.get(_DISABLE_ENV):
+        return False
+    if os.environ.get(_INTERPRET_ENV):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _interpret() -> bool:
+    return bool(os.environ.get(_INTERPRET_ENV))
+
+
+# --------------------------------------------------------------------------- #
+# kernels                                                                     #
+# --------------------------------------------------------------------------- #
+def _mqa_kernel(q_ref, k_ref, v_ref, o_ref):
+    """One (batch*head, q-block): q (BQ, D); shared k/v (J, D); out (BQ, D)."""
+    q = q_ref[0, 0]  # (BQ, D), already scaled by caller
+    k = k_ref[0]     # (J, D)
+    v = v_ref[0]     # (J, D)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, J) f32
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref):
+    """One (batch*head, q-block) with per-head k/v: q (BQ, D); k/v (J, D)."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _pick_block_q(n: int) -> int:
+    bq = min(DEFAULT_BLOCK_Q, n)
+    while n % bq != 0:  # shapes here are powers of two; terminates quickly
+        bq //= 2
+        if bq < 8:
+            return 0
+    return bq
+
+
+# --------------------------------------------------------------------------- #
+# multi-query attention (shared single K/V head)                              #
+# --------------------------------------------------------------------------- #
+def _mqa_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    b, h, n, d = q.shape
+    j = k.shape[1]
+    bq = _pick_block_q(n)
+    assert bq > 0, f"unsupported query length {n}"
+
+    grid = (b * h, n // bq)
+    return pl.pallas_call(
+        _mqa_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bh, i: (bh // h, bh % h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda bh, i: (bh // h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda bh, i: (bh // h, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bh, i: (bh // h, bh % h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * j * d,
+            bytes_accessed=(q.size + k.size * h + v.size * h + q.size) * q.dtype.itemsize,
+            transcendentals=b * h * n * j,
+        ),
+        interpret=_interpret(),
+    )(q, k, v)
+
+
+@jax.custom_vjp
+def mqa_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fused multi-query attention: q (b,h,n,d) pre-scaled; k/v (b,j,d)."""
+    return _mqa_forward(q, k, v)
+
+
+def _mqa_fwd(q, k, v):
+    return _mqa_forward(q, k, v), (q, k, v)
+
+
+def _mqa_bwd(res, g):
+    """Standard attention backward, recomputed with XLA einsums (f32)."""
+    q, k, v = res
+    s = jnp.einsum("bhnd,bjd->bhnj", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dp = jnp.einsum("bhnd,bjd->bhnj", g32, v32)
+    dv = jnp.einsum("bhnj,bhnd->bjd", p, g32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnj,bjd->bhnd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhnj,bhnd->bjd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+mqa_flash.defvjp(_mqa_fwd, _mqa_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# multi-head attention (per-head K/V)                                          #
+# --------------------------------------------------------------------------- #
+def _mha_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    b, h, n, d = q.shape
+    j = k.shape[2]
+    bq = _pick_block_q(n)
+    assert bq > 0, f"unsupported query length {n}"
+
+    grid = (b * h, n // bq)
+    return pl.pallas_call(
+        _mha_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bh, i: (bh // h, bh % h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j, d), lambda bh, i: (bh // h, bh % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j, d), lambda bh, i: (bh // h, bh % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bh, i: (bh // h, bh % h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * j * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=b * h * n * j,
+        ),
+        interpret=_interpret(),
+    )(q, k, v)
+
+
+@jax.custom_vjp
+def mha_flash(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fused multi-head attention: q (b,h,n,d) pre-scaled; k/v (b,h,j,d)."""
+    return _mha_forward(q, k, v)
+
+
+def _mha_fwd(q, k, v):
+    return _mha_forward(q, k, v), (q, k, v)
+
+
+def _mha_bwd(res, g):
+    q, k, v = res
+    s = jnp.einsum("bhnd,bhjd->bhnj", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dp = jnp.einsum("bhnd,bhjd->bhnj", g32, v.astype(jnp.float32))
+    dv = jnp.einsum("bhnj,bhnd->bhjd", p, g32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnj,bhjd->bhnd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhnj,bhnd->bhjd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+mha_flash.defvjp(_mha_fwd, _mha_bwd)

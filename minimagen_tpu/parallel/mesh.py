@@ -1,0 +1,178 @@
+"""Device mesh, shardings, and the compiled data/tensor-parallel train step.
+
+The reference has NO distributed layer at all (SURVEY.md §2c: single process,
+single device, CPU<->GPU swap hacks at Imagen.py:180-259).  This module is the
+TPU-native replacement: a `jax.sharding.Mesh` with ('data', 'model') axes,
+batch sharded over 'data' (gradients all-reduced by XLA over ICI), and wide
+kernels optionally sharded over 'model' (channel/head tensor parallelism —
+XLA GSPMD inserts the collectives).
+
+Design:
+- one jitted `train_step(state, batch, key)` computes the summed loss over
+  ALL cascade stages (the reference runs one backward per unet per batch,
+  training.py:367-372; summing independent per-stage losses yields the same
+  gradients in one fused backward), clips the global grad norm to 50
+  (training.py:372), and applies one optimizer update — with gradient
+  accumulation handled by `optax.MultiSteps` (ACCUM_ITER parity,
+  training.py:374-377).
+- params/optimizer state live replicated over 'data' and (optionally)
+  sharded over 'model'; batches are host numpy sharded on entry.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+GRAD_CLIP_NORM = 50.0  # reference training.py:372
+
+
+# --------------------------------------------------------------------------- #
+# mesh construction                                                           #
+# --------------------------------------------------------------------------- #
+def make_mesh(devices=None, *, model_parallel: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    :param model_parallel: size of the tensor-parallel axis; the data axis
+        gets the remaining devices.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % model_parallel == 0, f"{n} devices not divisible by model_parallel={model_parallel}"
+    dev_array = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
+    """Place a host batch onto the mesh, sharded over the 'data' axis."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+# --------------------------------------------------------------------------- #
+# tensor-parallel param sharding rules                                        #
+# --------------------------------------------------------------------------- #
+def infer_param_shardings(params, mesh: Mesh, *, min_shard_dim: int = 128):
+    """Channel/head tensor-parallel sharding rules for the U-Net param tree.
+
+    Dense/conv kernels whose output-channel (trailing) axis is divisible by
+    the 'model' axis size and at least `min_shard_dim` wide are sharded over
+    'model'; everything else is replicated.  XLA GSPMD propagates these seeds
+    through the matmuls/convs and inserts the all-gathers/reduce-scatters.
+    """
+    model_size = mesh.shape["model"]
+
+    def rule(path, leaf):
+        if model_size == 1 or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        is_kernel = names and names[-1] == "kernel"
+        out_dim = leaf.shape[-1]
+        if is_kernel and leaf.ndim >= 2 and out_dim % model_size == 0 and out_dim >= min_shard_dim:
+            spec = [None] * (leaf.ndim - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def place_params(params, shardings):
+    """Device-put a host param tree according to a sharding tree."""
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+# --------------------------------------------------------------------------- #
+# train state / step                                                          #
+# --------------------------------------------------------------------------- #
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(lr: float, accum_iter: int = 1) -> optax.GradientTransformation:
+    """Adam + global-norm clip 50 (reference train.py:100, training.py:372),
+    with ACCUM_ITER-step gradient accumulation."""
+    tx = optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM), optax.adam(lr))
+    if accum_iter > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_iter)
+    return tx
+
+
+def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params))
+
+
+def make_train_step(imagen, optimizer: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None, donate: bool = True):
+    """Build the jitted multi-stage train step.
+
+    fn(state, batch, key) -> (state, losses (num_unets,))
+    `batch` = {'image': (b,s,s,3) [0,1], 'encoding': (b,L,d), 'mask': (b,L)}.
+    """
+    num_unets = imagen.num_unets
+    stage_losses = [imagen.stage_loss_fn(i) for i in range(num_unets)]
+
+    def total_loss(params, batch, key):
+        keys = jax.random.split(key, num_unets)
+        losses = []
+        for i, loss_fn in enumerate(stage_losses):
+            losses.append(loss_fn(params[f"unet_{i}"], batch["image"],
+                                  batch["encoding"], batch["mask"], keys[i]))
+        losses = jnp.stack(losses)
+        return jnp.sum(losses), losses
+
+    def step_fn(state: TrainState, batch, key):
+        key = jax.random.fold_in(key, state.step)
+        (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(state.params, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), losses
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    # batch enters sharded over 'data'; the state keeps whatever sharding the
+    # caller committed it with (replicated over 'data', possibly sharded over
+    # 'model' via infer_param_shardings) — None = inherit
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, {"image": bsh, "encoding": bsh, "mask": bsh}, None),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(imagen, mesh: Optional[Mesh] = None):
+    """Jitted per-stage validation losses: fn(params, batch, key) -> (num_unets,)."""
+    num_unets = imagen.num_unets
+    stage_losses = [imagen.stage_loss_fn(i) for i in range(num_unets)]
+
+    def eval_fn(params, batch, key):
+        keys = jax.random.split(key, num_unets)
+        return jnp.stack([
+            stage_losses[i](params[f"unet_{i}"], batch["image"], batch["encoding"],
+                            batch["mask"], keys[i])
+            for i in range(num_unets)
+        ])
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    bsh = batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(None, {"image": bsh, "encoding": bsh, "mask": bsh}, None))

@@ -1,0 +1,403 @@
+"""Training harness: argparse flags, training-directory persistence, config
+round-trip, the training loop with periodic/best checkpoints and validation.
+
+Capability parity with the reference harness (/root/reference/minimagen/
+training.py — SURVEY.md §2b rows O/P/Q/R and §5):
+
+- `get_minimagen_parser`: the same 15 command-line flags with the same
+  defaults (training.py:178-211).
+- Training directory layout `training_<ts>/{parameters,state_dicts,tmp}` with
+  `create_directory` returning a chdir context manager (training.py:559-581),
+  `training_progess.txt` append-only log (same filename, including the
+  reference's historical spelling, for directory-format compatibility),
+  `parameters/training_parameters_<ts>.txt` flag dump and
+  `unet_<i>_params_<ts>.json` / `imagen_params_<ts>.json` configs
+  (training.py:596-625) — byte-compatible schema with the reference JSONs.
+- `load_restart_training_parameters` (restores MAX_NUM_WORDS, IMG_SIDE_LEN,
+  T5_NAME, TIMESTEPS from the saved flags txt, training.py:481-517) and
+  `load_testing_parameters` (tiny test values, training.py:520-556).
+- `MinimagenTrain`: per-epoch/batch loop training EVERY unet per batch,
+  periodic tmp checkpoints + full validation sweep every CHCKPT_NUM batches
+  (incl. batch 0), best-validation-loss checkpoints per unet, crash dumps on
+  exception (training.py:344-478).
+
+TPU-first changes (documented deviations):
+- One fused jitted train step computes all stage losses and applies a single
+  clipped Adam update (see parallel/mesh.py) instead of N sequential
+  backwards; gradient accumulation via optax.MultiSteps.
+- Checkpoints are flax msgpack param trees named `unet_<i>_state_<ts>.ckpt`
+  (torch .pth pickles are not meaningful here); the load path accepts both
+  the state_dicts/ and tmp/ fallback like the reference (generate.py:91-119).
+- The reference's SIGALRM per-batch watchdog skipped batches whose HTTP
+  fetches hung (training.py:325-341); here fetch timeouts live in the data
+  loader itself (dataset.py fetch_timeout), and the loop-level protection is
+  the same catch-all crash-dump handler.
+- The progress log's running-average loss divides by max(batch_num, 1)
+  (the reference divides by 0 on the first checkpoint, training.py:392 —
+  a deliberate fix).
+"""
+from __future__ import annotations
+
+import dataclasses
+import inspect
+import json
+import os
+import time
+from argparse import ArgumentParser
+from contextlib import contextmanager
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from .models.imagen import Imagen
+from .models.unet import UnetConfig
+from .parallel.mesh import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    shard_batch,
+)
+
+# re-exports for reference API parity (reference training.py exposes these)
+from .data.dataset import ConceptualCaptions, MinimagenDataset  # noqa: F401
+from .data.collate import DataLoader, MinimagenCollator, get_minimagen_dl_opts  # noqa: F401
+
+
+# --------------------------------------------------------------------------- #
+# CLI flags (reference training.py:178-211)                                   #
+# --------------------------------------------------------------------------- #
+def get_minimagen_parser() -> ArgumentParser:
+    """Returns parser for MinImagen training — same flags/defaults as the
+    reference (training.py:178-211)."""
+    parser = ArgumentParser()
+    parser.add_argument("-p", "--PARAMETERS", dest="PARAMETERS",
+                        help="Parameters directory to load Imagen from", default=None, type=str)
+    parser.add_argument("-n", "--NUM_WORKERS", dest="NUM_WORKERS",
+                        help="Number of workers for DataLoader", default=0, type=int)
+    parser.add_argument("-b", "--BATCH_SIZE", dest="BATCH_SIZE", help="Batch size", default=2, type=int)
+    parser.add_argument("-mw", "--MAX_NUM_WORDS", dest="MAX_NUM_WORDS",
+                        help="Maximum number of words allowed in a caption", default=64, type=int)
+    parser.add_argument("-s", "--IMG_SIDE_LEN", dest="IMG_SIDE_LEN",
+                        help="Side length of square Imagen output images", default=128, type=int)
+    parser.add_argument("-e", "--EPOCHS", dest="EPOCHS", help="Number of training epochs", default=5, type=int)
+    parser.add_argument("-t5", "--T5_NAME", dest="T5_NAME",
+                        help="Name of T5 encoder to use", default="t5_base", type=str)
+    parser.add_argument("-f", "--TRAIN_VALID_FRAC", dest="TRAIN_VALID_FRAC",
+                        help="Fraction of dataset to use for training (vs. validation)", default=0.9, type=float)
+    parser.add_argument("-t", "--TIMESTEPS", dest="TIMESTEPS",
+                        help="Number of timesteps in Diffusion process", default=1000, type=int)
+    parser.add_argument("-lr", "--OPTIM_LR", dest="OPTIM_LR",
+                        help="Learning rate for Adam optimizer", default=0.0001, type=float)
+    parser.add_argument("-ai", "--ACCUM_ITER", dest="ACCUM_ITER",
+                        help="Number of batches for gradient accumulation", default=1, type=int)
+    parser.add_argument("-cn", "--CHCKPT_NUM", dest="CHCKPT_NUM",
+                        help="Checkpointing batch number interval", default=500, type=int)
+    parser.add_argument("-vn", "--VALID_NUM", dest="VALID_NUM",
+                        help="Number of validation images to use. If None, uses full amount from train/valid split",
+                        default=None, type=int)
+    parser.add_argument("-rd", "--RESTART_DIRECTORY", dest="RESTART_DIRECTORY",
+                        help="Training directory to resume training from if restarting.", default=None, type=str)
+    parser.add_argument("-test", "--TESTING", dest="TESTING",
+                        help="Whether to test with smaller dataset", action="store_true")
+    parser.set_defaults(TESTING=False)
+    return parser
+
+
+def load_restart_training_parameters(args, justparams: bool = False):
+    """Restore the immutable args (MAX_NUM_WORDS, IMG_SIDE_LEN, T5_NAME,
+    TIMESTEPS) from a previous run's flags txt (reference training.py:481-517)."""
+    if justparams:
+        params = args.PARAMETERS
+    else:
+        params = os.path.join(args.RESTART_DIRECTORY, "parameters")
+
+    file = [f for f in os.listdir(params) if f.startswith("training_")][0]
+    with open(os.path.join(params, file), "r") as f:
+        lines = f.readlines()
+
+    to_keep = ["MAX_NUM_WORDS", "IMG_SIDE_LEN", "T5_NAME", "TIMESTEPS"]
+    d: Dict[str, Any] = {}
+    for line in lines:
+        if not any(line.startswith(f"--{k}") for k in to_keep):
+            continue
+        key, _, value = line.partition("=")
+        value = value.rstrip("\n")
+        try:
+            d[key[2:]] = int(value)
+        except ValueError:
+            d[key[2:]] = value
+
+    args.__dict__ = {**args.__dict__, **d}
+    return args
+
+
+def load_testing_parameters(args):
+    """Tiny-compute test values (reference training.py:520-556)."""
+    d = dict(
+        BATCH_SIZE=2,
+        MAX_NUM_WORDS=32,
+        IMG_SIDE_LEN=128,
+        EPOCHS=2,
+        T5_NAME="t5_small",
+        TRAIN_VALID_FRAC=0.5,
+        TIMESTEPS=25,  # do not make less than 20
+        OPTIM_LR=0.0001,
+    )
+    args.__dict__ = {**args.__dict__, **d}
+    return args
+
+
+# --------------------------------------------------------------------------- #
+# training directory persistence (reference training.py:559-671)              #
+# --------------------------------------------------------------------------- #
+def create_directory(dir_path: str):
+    """Create `dir_path` with parameters/, state_dicts/, tmp/ subdirs and
+    return a chdir context manager taking an optional subdir argument
+    (reference training.py:559-581)."""
+    original_dir = os.getcwd()
+    dir_path = os.path.abspath(dir_path)
+    if not os.path.exists(dir_path):
+        os.makedirs(dir_path)
+        for sub in ["parameters", "state_dicts", "tmp"]:
+            os.makedirs(os.path.join(dir_path, sub))
+
+    @contextmanager
+    def cm(subpath: str = ""):
+        os.chdir(os.path.join(dir_path, subpath))
+        try:
+            yield
+        finally:
+            os.chdir(original_dir)
+
+    return cm
+
+
+def get_model_size(imagen: Imagen, params: Optional[Dict] = None) -> float:
+    """Model size in MB: params + schedule buffers (reference training.py:584-593)."""
+    params = params if params is not None else imagen.params
+    assert params is not None, "initialize params first"
+    param_bytes = sum(leaf.size * leaf.dtype.itemsize for leaf in jax.tree_util.tree_leaves(params))
+    buffer_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for sched in (*imagen.noise_schedulers, imagen.lowres_noise_schedule)
+        for leaf in jax.tree_util.tree_leaves(sched)
+    )
+    return (param_bytes + buffer_bytes) / 1024**2
+
+
+def save_training_info(args, timestamp: str, unets_params: List[dict], imagen_params: dict,
+                       model_size: float, training_dir) -> None:
+    """Write flags txt, model-size log line, and the unet/imagen JSON configs
+    (reference training.py:596-625; JSON schema identical to the reference's
+    parameters/*.json files)."""
+    with training_dir("parameters"):
+        with open(f"training_parameters_{timestamp}.txt", "w") as f:
+            for k in args.__dict__.keys():
+                f.write(f"--{k}={getattr(args, k)}\n")
+
+    with training_dir():
+        with open("training_progess.txt", "a") as f:
+            if getattr(args, "RESTART_DIRECTORY", None) is not None:
+                f.write(f"STARTED FROM CHECKPOINT {args.RESTART_DIRECTORY}\n")
+            f.write(f"model size: {model_size:.3f}MB\n\n")
+
+    with training_dir("parameters"):
+        for idx, param in enumerate(unets_params):
+            with open(f"unet_{idx}_params_{timestamp}.json", "w") as f:
+                json.dump(param, f, indent=4)
+        with open(f"imagen_params_{timestamp}.json", "w") as f:
+            json.dump(imagen_params, f, indent=4)
+
+
+def get_model_params(parameters_dir: str):
+    """Read unet/imagen param JSONs from a parameters directory
+    (reference training.py:628-657)."""
+    im_params = None
+    unets_params: List[Any] = []
+    for file in os.listdir(parameters_dir):
+        if file.startswith("imagen"):
+            im_params = file
+        elif file.startswith("unet_"):
+            unets_params.append(file)
+    unets_params = sorted(unets_params, key=lambda x: int(x.split("_")[1]))
+
+    loaded = []
+    for filepath in unets_params:
+        with open(os.path.join(parameters_dir, filepath), "r") as f:
+            loaded.append(json.loads(f.read()))
+    with open(os.path.join(parameters_dir, im_params), "r") as f:
+        im_params = json.loads(f.read())
+    return loaded, im_params
+
+
+def get_default_args(obj) -> Dict[str, Any]:
+    """Default arguments of a callable or config class; preset config classes
+    merge their `defaults` dict over the base defaults (reference
+    training.py:660-671)."""
+    if inspect.isclass(obj) and issubclass(obj, UnetConfig):
+        base = {f.name: f.default for f in dataclasses.fields(UnetConfig)
+                if f.default is not dataclasses.MISSING}
+        base.pop("defaults", None)
+        if obj is not UnetConfig:
+            return {**base, **obj.defaults}
+        return base
+
+    signature = inspect.signature(obj.__init__ if inspect.isclass(obj) else obj)
+    return {
+        k: v.default
+        for k, v in signature.parameters.items()
+        if v.default is not inspect.Parameter.empty
+    }
+
+
+def imagen_config_dict(imagen_kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Complete an Imagen kwargs dict with defaults for the config JSON
+    (same completion step as reference train.py:89-91)."""
+    defaults = get_default_args(Imagen)
+    defaults.pop("dtype", None)
+    out = {**defaults, **imagen_kwargs}
+    out.pop("unets", None)
+    out.pop("dtype", None)
+    if isinstance(out.get("image_sizes"), tuple):
+        out["image_sizes"] = list(out["image_sizes"])
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# checkpoint IO                                                               #
+# --------------------------------------------------------------------------- #
+def save_unet_checkpoint(path: str, unet_params) -> None:
+    """Serialize one unet's param tree to flax msgpack bytes."""
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(unet_params)))
+
+
+def load_unet_checkpoint(path: str, template) -> Any:
+    """Deserialize one unet's param tree using `template` for structure."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+CKPT_EXT = "ckpt"
+
+
+# --------------------------------------------------------------------------- #
+# the training loop (reference MinimagenTrain, training.py:344-478)           #
+# --------------------------------------------------------------------------- #
+def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
+                   valid_dataloader, training_dir, optimizer=None, timeout: int = 60,
+                   mesh=None, seed: int = 0) -> Dict[str, Any]:
+    """Training loop for a MinImagen instance.
+
+    :param unets: list of UnetConfig (accepted for reference signature parity;
+        the authoritative configs are `imagen.unet_configs`).
+    :param optimizer: optax transformation; defaults to clipped Adam at
+        args.OPTIM_LR with args.ACCUM_ITER accumulation.
+    :param timeout: retained for reference API parity; batch-level hang
+        protection lives in the dataset fetch timeouts.
+    :param mesh: optional jax.sharding.Mesh for data/tensor parallelism.
+    :return: summary dict (final train state is saved to disk).
+    """
+    num_unets = imagen.num_unets
+    assert imagen.params is not None, "imagen.init_params(...) must run before training"
+
+    optimizer = optimizer if optimizer is not None else make_optimizer(
+        args.OPTIM_LR, getattr(args, "ACCUM_ITER", 1)
+    )
+    state = create_train_state(imagen.params, optimizer)
+    train_step = make_train_step(imagen, optimizer, mesh=mesh)
+    eval_step = make_eval_step(imagen, mesh=mesh)
+    base_key = jax.random.PRNGKey(seed)
+
+    def _dump_tmp(params):
+        with training_dir("tmp"):
+            for idx in range(num_unets):
+                save_unet_checkpoint(f"unet_{idx}_tmp.{CKPT_EXT}", params[f"unet_{idx}"])
+
+    def _validate(params, epoch_key):
+        running = np.zeros(num_unets)
+        n_batches = 0
+        for vbatch in valid_dataloader:
+            if not vbatch:
+                continue
+            if mesh is not None:
+                vbatch = shard_batch(vbatch, mesh)
+            losses = eval_step(params, vbatch, jax.random.fold_in(epoch_key, n_batches))
+            running += np.asarray(losses)
+            n_batches += 1
+        return running / max(n_batches, 1)
+
+    best_loss = np.full(num_unets, 9999999.0)  # init like reference training.py:437
+    history: List[Dict[str, Any]] = []
+
+    for epoch in range(args.EPOCHS):
+        print(f'\n{"-" * 20} EPOCH {epoch + 1} {"-" * 20}')
+        with training_dir():
+            with open("training_progess.txt", "a") as f:
+                f.write(f'{"-" * 20} EPOCH {epoch + 1} {"-" * 20}\n')
+
+        epoch_key = jax.random.fold_in(base_key, epoch)
+        running_train_loss = np.zeros(num_unets)
+        print(f'\n{"-" * 10}Training...{"-" * 10}')
+
+        for batch_num, batch in enumerate(train_dataloader):
+            try:
+                if not batch:
+                    continue  # fully-failed batch: skip (reference training.py:452-453)
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+
+                state, losses = train_step(state, batch, epoch_key)
+                losses_np = np.asarray(losses)
+                running_train_loss += losses_np
+
+                # periodic checkpoint + validation sweep (reference training.py:379-435)
+                if batch_num % args.CHCKPT_NUM == 0:
+                    with training_dir():
+                        with open("training_progess.txt", "a") as f:
+                            f.write(f'{"-" * 10}Checkpoint created at batch number {batch_num}{"-" * 10}\n')
+
+                    _dump_tmp(state.params)
+
+                    avg_loss = running_train_loss / max(batch_num, 1)
+                    with training_dir():
+                        with open("training_progess.txt", "a") as f:
+                            f.write(f"U-Nets Avg Train Losses Epoch {epoch + 1} Batch {batch_num}: "
+                                    f"{[round(float(i), 3) for i in avg_loss]}\n")
+                            f.write(f"U-Nets Batch Train Losses Epoch {epoch + 1} Batch {batch_num}: "
+                                    f"{[round(float(i), 3) for i in losses_np]}\n")
+
+                    print(f'\n{"-" * 10}Validation...{"-" * 10}')
+                    avg_valid = _validate(state.params, jax.random.fold_in(epoch_key, 10_000 + batch_num))
+                    for i, l in enumerate(avg_valid):
+                        print(f"Unet {i} avg validation loss: ", l)
+                        if l < best_loss[i]:
+                            best_loss[i] = l
+                            with training_dir("state_dicts"):
+                                save_unet_checkpoint(
+                                    f"unet_{i}_state_{timestamp}.{CKPT_EXT}", state.params[f"unet_{i}"]
+                                )
+                    with training_dir():
+                        with open("training_progess.txt", "a") as f:
+                            f.write(f"U-Nets Avg Valid Losses: {[round(float(i), 3) for i in avg_valid]}\n")
+                            f.write(f"U-Nets Best Valid Losses: {[round(float(i), 3) for i in best_loss]}\n\n")
+                    history.append({"epoch": epoch, "batch": batch_num,
+                                    "train": avg_loss.tolist(), "valid": avg_valid.tolist()})
+            except Exception as e:  # crash dump (reference training.py:465-478)
+                with training_dir():
+                    with open("training_progess.txt", "a") as f:
+                        f.write(f"\n\nTRAINING ABORTED AT EPOCH {epoch}, BATCH NUMBER {batch_num} "
+                                f"with exception {e}. MOST RECENT STATE DICTS SAVED TO ./tmp IN "
+                                f"TRAINING FOLDER")
+                _dump_tmp(state.params)
+                raise
+
+    # final state also goes to tmp so inference always has weights
+    _dump_tmp(state.params)
+    imagen.params = jax.device_get(state.params)
+    return {"best_valid_loss": best_loss.tolist(), "history": history,
+            "final_step": int(state.step)}

@@ -13,3 +13,7 @@ os.environ.setdefault("MINIMAGEN_TPU_T5_FALLBACK", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the suite is compile-bound on CPU; caching makes
+# repeat runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/minimagen_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

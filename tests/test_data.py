@@ -1,0 +1,99 @@
+"""Data pipeline tests: synthetic dataset, collator None-tolerance, loader
+(reference behaviors: training.py:59-90 collator, :214-269 dataset)."""
+import numpy as np
+import pytest
+
+from minimagen_tpu.data.collate import DataLoader, MinimagenCollator, get_minimagen_dl_opts
+from minimagen_tpu.data.dataset import (
+    CaptionEncoder,
+    SyntheticCaptionedImages,
+    random_split,
+    rescale_image,
+)
+
+
+def _synth(n=8, side=16, failure_rate=0.0):
+    return SyntheticCaptionedImages(
+        num_items=n, side_length=side, encoder_name="t5_small", max_length=32,
+        failure_rate=failure_rate,
+    )
+
+
+def test_synthetic_dataset_deterministic_items():
+    ds = _synth()
+    a, b = ds[3], ds[3]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    assert a["image"].shape == (16, 16, 3)
+    assert a["image"].dtype == np.float32
+    assert 0.0 <= a["image"].min() and a["image"].max() <= 1.0
+    assert a["encoding"].shape[-1] == 512  # t5_small dim
+    assert a["encoding"].shape[0] == a["mask"].shape[0]
+
+
+def test_caption_encoder_cache_consistency():
+    enc = CaptionEncoder("t5_small", 32)
+    e1, m1 = enc.encode("a red square")
+    e2, m2 = enc.encode("a red square")
+    np.testing.assert_array_equal(e1, e2)
+    assert m1.dtype == bool
+
+
+def test_collator_pads_to_static_bucket():
+    ds = _synth()
+    collator = MinimagenCollator(max_length=32)
+    batch = collator([ds[0], ds[1], ds[2]])
+    assert batch["image"].shape == (3, 16, 16, 3)
+    assert batch["encoding"].shape == (3, 32, 512)
+    assert batch["mask"].shape == (3, 32)
+    # padded tail rows zeroed / masked out
+    n0 = int(batch["mask"][0].sum())
+    assert np.all(batch["encoding"][0, n0:] == 0)
+
+
+def test_collator_drops_nones_and_handles_empty():
+    ds = _synth()
+    collator = MinimagenCollator(max_length=32)
+    batch = collator([None, ds[0], None])
+    assert batch["image"].shape[0] == 1
+    assert collator([None, None]) is None  # empty batch -> None (reference :69-70)
+
+
+def test_dataloader_iteration_and_drop_last():
+    ds = _synth(n=10)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                    collate_fn=MinimagenCollator(max_length=32))
+    batches = list(dl)
+    assert len(dl) == 2
+    assert len(batches) == 2
+    for b in batches:
+        assert b["image"].shape[0] == 4
+
+
+def test_dataloader_with_failures_yields_partial_batches():
+    ds = _synth(n=12, failure_rate=0.4)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, drop_last=True,
+                    collate_fn=MinimagenCollator(max_length=32))
+    batches = list(dl)
+    assert len(batches) == 3
+    for b in batches:
+        assert b is None or b["image"].shape[0] <= 4
+
+
+def test_random_split_partition():
+    ds = _synth(n=10)
+    tr, va = random_split(ds, 7)
+    assert len(tr) == 7 and len(va) == 3
+    assert set(tr.indices) | set(va.indices) == set(range(10))
+
+
+def test_rescale_image_minmax():
+    img = np.random.default_rng(0).uniform(0.2, 0.7, (20, 30, 3)).astype(np.float32)
+    out = rescale_image(img, 16)
+    assert out.shape == (16, 16, 3)
+    assert abs(out.min()) < 1e-6 and abs(out.max() - 1) < 1e-6
+
+
+def test_default_dl_opts_match_reference():
+    opts = get_minimagen_dl_opts(None)
+    assert opts["batch_size"] == 4 and opts["shuffle"] and opts["drop_last"]
+    assert isinstance(opts["collate_fn"], MinimagenCollator)

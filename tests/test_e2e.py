@@ -1,0 +1,84 @@
+"""End-to-end smoke test: tiny train -> checkpoints on disk -> reload ->
+sample -> PNGs (the reference's de-facto test, main.py:1-11, scaled to 8->16px
+so it runs quickly on the CPU test mesh)."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from minimagen_tpu.data.collate import DataLoader, MinimagenCollator
+from minimagen_tpu.data.dataset import SyntheticCaptionedImages
+from minimagen_tpu.generate import load_minimagen, sample_and_save
+from minimagen_tpu.models.imagen import Imagen
+from minimagen_tpu.models.unet import BaseTest, SuperTest
+from minimagen_tpu.parallel.mesh import make_optimizer
+from minimagen_tpu.training import (
+    MinimagenTrain,
+    create_directory,
+    get_default_args,
+    imagen_config_dict,
+    save_training_info,
+    get_minimagen_parser,
+    load_testing_parameters,
+)
+
+
+@pytest.mark.slow
+def test_tiny_train_checkpoint_reload_sample(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    args = load_testing_parameters(get_minimagen_parser().parse_args([]))
+    args.IMG_SIDE_LEN = 16
+    args.EPOCHS = 1
+    args.CHCKPT_NUM = 2
+    args.MAX_NUM_WORDS = 8
+
+    ds = SyntheticCaptionedImages(num_items=8, side_length=16, encoder_name="t5_small",
+                                  max_length=8)
+    collate = MinimagenCollator(max_length=8)
+    train_dl = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, collate_fn=collate)
+    valid_dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True, collate_fn=collate)
+
+    imagen = Imagen(unets=[BaseTest(), SuperTest()], image_sizes=(8, 16), timesteps=25,
+                    cond_drop_prob=0.15, text_encoder_name="t5_small")
+    imagen.init_params(jax.random.PRNGKey(0))
+
+    timestamp = "testrun"
+    training_dir = create_directory(str(tmp_path / f"training_{timestamp}"))
+    save_training_info(
+        args, timestamp, [c.to_dict() for c in imagen.unet_configs],
+        imagen_config_dict(dict(image_sizes=[8, 16], timesteps=25, cond_drop_prob=0.15,
+                                text_encoder_name="t5_small")),
+        1.0, training_dir,
+    )
+
+    summary = MinimagenTrain(timestamp, args, imagen.unet_configs, imagen, train_dl,
+                             valid_dl, training_dir, make_optimizer(1e-4))
+    assert summary["final_step"] > 0
+
+    run_dir = str(tmp_path / f"training_{timestamp}")
+    # periodic validation produced best-checkpoints, plus tmp dumps
+    assert any(f.startswith("unet_0_state") for f in os.listdir(os.path.join(run_dir, "state_dicts")))
+    assert any(f.startswith("unet_0_tmp") for f in os.listdir(os.path.join(run_dir, "tmp")))
+    log = open(os.path.join(run_dir, "training_progess.txt")).read()
+    assert "Checkpoint created at batch number 0" in log
+    assert "Avg Valid Losses" in log
+
+    # reload and verify weights round-trip
+    reloaded = load_minimagen(run_dir)
+    assert reloaded.num_unets == 2
+    orig_leaf = jax.tree_util.tree_leaves(imagen.params["unet_0"])[0]
+    new_leaf = jax.tree_util.tree_leaves(reloaded.params["unet_0"])[0]
+    np.testing.assert_allclose(np.asarray(orig_leaf), np.asarray(new_leaf), atol=1e-6)
+
+    # sample_and_save writes provenance + images (reference generate.py:124-173)
+    sample_and_save(["a red square"], training_directory=run_dir,
+                    sample_args={"cond_scale": 3.0}, save_directory="gen_out")
+    out_dir = tmp_path / "gen_out"
+    assert (out_dir / "captions.txt").read_text().strip() == "a red square"
+    assert (out_dir / "imagen_training_directory.txt").read_text() == run_dir
+    assert (out_dir / "generated_images" / "image_0.png").exists()
+
+    # output dir collision raises (reference generate.py:22-23)
+    with pytest.raises(FileExistsError):
+        sample_and_save(["x"], training_directory=run_dir, save_directory="gen_out")

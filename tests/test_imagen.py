@@ -1,0 +1,176 @@
+"""Imagen orchestrator tests: losses, CFG, dynamic thresholding, cascade
+sampling (reference Imagen.py:22-650)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from minimagen_tpu.models.imagen import Imagen, _loss_fn
+from minimagen_tpu.models.unet import BaseTest, SuperTest, UnetConfig
+
+KEY = jax.random.PRNGKey(0)
+TINY = dict(size=16)
+
+
+@pytest.fixture(scope="module")
+def cascade():
+    """2-stage tiny cascade (8x8 -> 16x16), T=25, like the reference's example
+    config (parameters/imagen_params_20220816_165729.json) scaled down."""
+    imagen = Imagen(
+        unets=[BaseTest(), SuperTest()],
+        image_sizes=(8, 16),
+        timesteps=25,
+        cond_drop_prob=0.15,
+        text_encoder_name="t5_small",
+    )
+    imagen.init_params(KEY, batch_size=2, text_len=6)
+    return imagen
+
+
+def _batch(b=2, size=16, text_len=6, dim=512):
+    images = jax.random.uniform(jax.random.PRNGKey(3), (b, size, size, 3))
+    embeds = jax.random.normal(jax.random.PRNGKey(4), (b, text_len, dim))
+    mask = jnp.ones((b, text_len), bool)
+    return images, embeds, mask
+
+
+def test_loss_fns():
+    pred = jnp.array([0.0, 2.0])
+    tgt = jnp.array([0.0, 0.0])
+    assert float(_loss_fn("l1")(pred, tgt)) == 1.0
+    assert float(_loss_fn("l2")(pred, tgt)) == 2.0
+    assert float(_loss_fn("huber")(pred, tgt)) == 0.75  # (0 + (2-0.5))/2
+    with pytest.raises(NotImplementedError):
+        _loss_fn("nope")
+
+
+def test_cascade_construction_forces_lowres_cond(cascade):
+    """First unet is base, the rest super-res (reference Imagen.py:89-103)."""
+    assert cascade.unet_configs[0].lowres_cond is False
+    assert cascade.unet_configs[1].lowres_cond is True
+    assert cascade.unet_configs[1].channels_out == 3
+    assert len(cascade.noise_schedulers) == 2
+    assert cascade.noise_schedulers[0].num_timesteps == 25
+
+
+def test_forward_loss_per_stage(cascade):
+    images, embeds, mask = _batch()
+    for unet_number in (1, 2):
+        loss = cascade.forward(images, text_embeds=embeds, text_masks=mask,
+                               unet_number=unet_number, key=jax.random.PRNGKey(7))
+        loss = float(loss)
+        assert np.isfinite(loss) and loss > 0
+
+
+def test_forward_requires_unet_number_for_cascade(cascade):
+    images, embeds, mask = _batch()
+    with pytest.raises(AssertionError):
+        cascade.forward(images, text_embeds=embeds, text_masks=mask)
+
+
+def test_forward_accepts_nchw(cascade):
+    images, embeds, mask = _batch()
+    nchw = jnp.transpose(images, (0, 3, 1, 2))
+    l1 = cascade.forward(nchw, text_embeds=embeds, text_masks=mask, unet_number=1,
+                         key=jax.random.PRNGKey(5), data_format="NCHW")
+    l2 = cascade.forward(images, text_embeds=embeds, text_masks=mask, unet_number=1,
+                         key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_loss_decreases_with_training_steps(cascade):
+    """A few SGD steps on a fixed batch should reduce stage-1 loss."""
+    import optax
+
+    images, embeds, mask = _batch()
+    loss_fn = cascade.stage_loss_fn(0)
+    params = cascade.params["unet_0"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, embeds, mask, key)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    fixed_key = jax.random.PRNGKey(11)
+    first = None
+    for i in range(20):
+        params, opt_state, loss = step(params, opt_state, fixed_key)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first, f"loss did not decrease: {first} -> {float(loss)}"
+
+
+def test_sample_cascade_shapes_and_range(cascade):
+    _, embeds, mask = _batch()
+    imgs = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=1.0,
+                          key=jax.random.PRNGKey(2))
+    assert imgs.shape == (2, 16, 16, 3)
+    arr = np.asarray(imgs)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_sample_guided_pair_batched(cascade):
+    _, embeds, mask = _batch()
+    imgs = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                          key=jax.random.PRNGKey(2))
+    assert imgs.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(imgs)))
+
+
+def test_sample_guidance_requires_cond_dropout():
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(8,), timesteps=25,
+                    cond_drop_prob=0.0, text_encoder_name="t5_small")
+    imagen.init_params(KEY)
+    _, embeds, mask = _batch()
+    with pytest.raises(AssertionError):
+        imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0)
+
+
+def test_sample_fixed_key_is_deterministic(cascade):
+    _, embeds, mask = _batch()
+    a = cascade.sample(text_embeds=embeds, text_masks=mask, key=jax.random.PRNGKey(42))
+    b = cascade.sample(text_embeds=embeds, text_masks=mask, key=jax.random.PRNGKey(42))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = cascade.sample(text_embeds=embeds, text_masks=mask, key=jax.random.PRNGKey(43))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_sample_from_texts_with_fallback_encoder(cascade):
+    imgs = cascade.sample(texts=["a happy dog", "a big red house"],
+                          key=jax.random.PRNGKey(1))
+    assert imgs.shape == (2, 16, 16, 3)
+
+
+def test_sample_pil_images(cascade):
+    pil = cascade.sample(texts=["a happy dog"], return_pil_images=True,
+                         key=jax.random.PRNGKey(1))
+    assert len(pil) == 1
+    assert pil[0].size == (16, 16)
+
+
+def test_sample_nchw_output(cascade):
+    _, embeds, mask = _batch()
+    imgs = cascade.sample(text_embeds=embeds, text_masks=mask, data_format="NCHW")
+    assert imgs.shape == (2, 3, 16, 16)
+
+
+def test_dynamic_thresholding_bounds_x_start():
+    """With an extreme predicted x0, dynamic thresholding must keep the
+    posterior input within [-1, 1] scaled bounds (reference Imagen.py:309-323)."""
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(8,), timesteps=25,
+                    cond_drop_prob=0.1, text_encoder_name="t5_small")
+    imagen.init_params(KEY)
+    # directly exercise _p_mean_variance with an extreme state
+    x = 50.0 * jnp.ones((1, 8, 8, 3))
+    t = jnp.array([24])
+    embeds = jnp.zeros((1, 4, 512))
+    mask = jnp.ones((1, 4), bool)
+    mean, var, logvar = imagen._p_mean_variance(
+        0, imagen.noise_schedulers[0], imagen.params["unet_0"], x, t,
+        text_embeds=embeds, text_mask=mask, lowres_cond_img=None,
+        lowres_noise_times=None, cond_scale=1.0, guided=False,
+    )
+    assert np.all(np.isfinite(np.asarray(mean)))

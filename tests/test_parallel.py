@@ -1,0 +1,135 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel train step,
+tensor-parallel param sharding, batch placement.  (The reference has no
+distributed layer — SURVEY.md §2c — this is the TPU-native addition.)"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from minimagen_tpu.models.imagen import Imagen
+from minimagen_tpu.models.unet import BaseTest, UnetConfig
+from minimagen_tpu.parallel.mesh import (
+    batch_sharding,
+    create_train_state,
+    infer_param_shardings,
+    make_eval_step,
+    make_mesh,
+    make_optimizer,
+    make_train_step,
+    place_params,
+    shard_batch,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _tiny_imagen(cond_drop=0.15):
+    im = Imagen(unets=[BaseTest()], image_sizes=(8,), timesteps=25,
+                cond_drop_prob=cond_drop, text_encoder_name="t5_small")
+    im.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=4)
+    return im
+
+
+def _batch(b=8, size=8, L=4):
+    return {
+        "image": np.random.default_rng(0).uniform(0, 1, (b, size, size, 3)).astype(np.float32),
+        "encoding": np.random.default_rng(1).normal(size=(b, L, 512)).astype(np.float32),
+        "mask": np.ones((b, L), bool),
+    }
+
+
+def test_mesh_axes():
+    mesh = make_mesh(model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh_dp = make_mesh()
+    assert mesh_dp.shape == {"data": 8, "model": 1}
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    batch = shard_batch(_batch(), mesh)
+    sh = batch["image"].sharding
+    assert sh.spec == P("data")
+    # each device holds 1/8 of the batch
+    assert batch["image"].addressable_shards[0].data.shape[0] == 1
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """The DP step over 8 devices must produce the same losses/params as the
+    single-device step (pure SPMD, no semantic change)."""
+    imagen = _tiny_imagen()
+    opt = make_optimizer(1e-4)
+    batch = _batch()
+    key = jax.random.PRNGKey(5)
+
+    state1 = create_train_state(imagen.params, opt)
+    step1 = make_train_step(imagen, opt, mesh=None, donate=False)
+    state1b, losses1 = step1(state1, batch, key)
+
+    mesh = make_mesh()
+    state2 = create_train_state(imagen.params, opt)
+    step2 = make_train_step(imagen, opt, mesh=mesh, donate=False)
+    state2b, losses2 = step2(state2, shard_batch(batch, mesh), key)
+
+    np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses2), rtol=2e-4)
+    l1 = jax.tree_util.tree_leaves(state1b.params)[0]
+    l2 = jax.tree_util.tree_leaves(state2b.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=1e-6)
+
+
+def test_tensor_parallel_shardings_and_step():
+    """Wide kernels shard over 'model'; the step still runs and matches the
+    unsharded numerics."""
+    imagen = Imagen(
+        unets=[UnetConfig(dim=32, dim_mults=(1, 2), num_resnet_blocks=1,
+                          layer_attns=False, layer_cross_attns=False)],
+        image_sizes=(8,), timesteps=25, cond_drop_prob=0.15, text_encoder_name="t5_small",
+    )
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=4)
+
+    mesh = make_mesh(model_parallel=2)
+    shardings = infer_param_shardings(imagen.params, mesh, min_shard_dim=32)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)]
+    assert any(spec == P(None, "model") or (len(spec) and spec[-1] == "model") for spec in specs), \
+        "expected at least one model-sharded kernel"
+
+    opt = make_optimizer(1e-4)
+    sharded_params = place_params(imagen.params, shardings)
+    state = create_train_state(sharded_params, opt)
+    step = make_train_step(imagen, opt, mesh=mesh, donate=False)
+    batch = _batch()
+    state2, losses = step(state, shard_batch(batch, mesh), jax.random.PRNGKey(5))
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+    # numerics match the single-device step
+    state_ref = create_train_state(imagen.params, opt)
+    step_ref = make_train_step(imagen, opt, mesh=None, donate=False)
+    _, losses_ref = step_ref(state_ref, batch, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref), rtol=2e-4)
+
+
+def test_eval_step_on_mesh():
+    imagen = _tiny_imagen()
+    mesh = make_mesh()
+    eval_step = make_eval_step(imagen, mesh=mesh)
+    losses = eval_step(imagen.params, shard_batch(_batch(), mesh), jax.random.PRNGKey(0))
+    assert losses.shape == (1,)
+    assert np.isfinite(float(losses[0]))
+
+
+def test_grad_accumulation_multisteps():
+    """ACCUM_ITER parity: with accumulation k, params change only every k
+    steps (reference training.py:374-377)."""
+    imagen = _tiny_imagen()
+    opt = make_optimizer(1e-3, accum_iter=2)
+    state = create_train_state(imagen.params, opt)
+    step = make_train_step(imagen, opt, mesh=None, donate=False)
+    batch = _batch(b=4)
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    np.testing.assert_array_equal(p0, p1)  # first microstep: accumulate only
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.allclose(p0, p2)  # second microstep: applied

@@ -1,0 +1,106 @@
+"""Training CLI — same flags and behavior as the reference train.py
+(/root/reference/train.py:1-103): arg-resolution precedence
+RESTART_DIRECTORY > PARAMETERS > TESTING > defaults, training-directory
+creation, config-JSON persistence, Adam training with validation checkpoints.
+
+TPU-native: the train step is a single jitted multi-stage update, optionally
+data-parallel over a jax.sharding.Mesh (`--MESH data` to shard the batch over
+all visible devices).
+"""
+import os
+from datetime import datetime
+
+import jax
+
+from minimagen_tpu.models.imagen import Imagen
+from minimagen_tpu.models.unet import Base, BaseTest, Super, SuperTest, Unet
+from minimagen_tpu.generate import load_minimagen, load_params
+from minimagen_tpu.parallel.mesh import make_mesh, make_optimizer
+from minimagen_tpu.training import (
+    ConceptualCaptions,
+    DataLoader,
+    MinimagenCollator,
+    MinimagenTrain,
+    create_directory,
+    get_default_args,
+    get_minimagen_dl_opts,
+    get_model_params,
+    get_model_size,
+    imagen_config_dict,
+    load_restart_training_parameters,
+    load_testing_parameters,
+    save_training_info,
+)
+
+
+def main():
+    parser = get_minimagen_parser()
+    # extra args beyond the reference parser (train.py:22-23 adds TIMESTAMP)
+    parser.add_argument("-ts", "--TIMESTAMP", dest="timestamp",
+                        help="Timestamp for training directory", type=str, default=None)
+    parser.add_argument("--MESH", dest="MESH", choices=["none", "data"], default="none",
+                        help="Data-parallel over all visible devices ('data') or single device")
+    args = parser.parse_args()
+    timestamp = args.timestamp or datetime.now().strftime("%Y%m%d_%H%M%S")
+
+    dir_path = f"./training_{timestamp}"
+    training_dir = create_directory(dir_path)
+
+    # arg-resolution precedence (reference train.py:36-43)
+    if args.RESTART_DIRECTORY is not None:
+        args = load_restart_training_parameters(args)
+    elif args.PARAMETERS is not None:
+        args = load_restart_training_parameters(args, justparams=True)
+    if args.TESTING:
+        args = load_testing_parameters(args)
+        train_dataset, valid_dataset = ConceptualCaptions(args, smalldata=True)
+    else:
+        train_dataset, valid_dataset = ConceptualCaptions(args, smalldata=False)
+
+    dl_opts = {**get_minimagen_dl_opts(None), "batch_size": args.BATCH_SIZE,
+               "num_workers": args.NUM_WORKERS,
+               "collate_fn": MinimagenCollator(max_length=args.MAX_NUM_WORDS)}
+    train_dataloader = DataLoader(train_dataset, **dl_opts)
+    valid_dataloader = DataLoader(valid_dataset, **dl_opts)
+
+    # build Unet configs + Imagen (reference train.py:54-87)
+    if args.RESTART_DIRECTORY is None:
+        imagen_params = dict(
+            image_sizes=(int(args.IMG_SIDE_LEN / 2), args.IMG_SIDE_LEN),
+            timesteps=args.TIMESTEPS,
+            cond_drop_prob=0.15,
+            text_encoder_name=args.T5_NAME,
+        )
+        if args.TESTING:
+            unets_params = [get_default_args(BaseTest), get_default_args(SuperTest)]
+        elif not args.PARAMETERS:
+            unets_params = [get_default_args(Base), get_default_args(Super)]
+        else:
+            unets_params, imagen_params = get_model_params(args.PARAMETERS)
+            imagen_params = {k: v for k, v in imagen_params.items() if k != "unets"}
+
+        unets = [Unet.from_dict(p) for p in unets_params]
+        imagen = Imagen(unets=unets, **imagen_params)
+        imagen.init_params(jax.random.PRNGKey(0))
+    else:
+        orig_train_dir = os.path.join(os.getcwd(), args.RESTART_DIRECTORY)
+        unets_params, imagen_params = load_params(orig_train_dir)
+        imagen_params = {k: v for k, v in imagen_params.items() if k != "unets"}
+        imagen = load_minimagen(orig_train_dir)
+    unets = imagen.unet_configs
+
+    # complete config dicts with defaults (reference train.py:89-91)
+    unets_params = [cfg.to_dict() for cfg in imagen.unet_configs]
+    imagen_params = imagen_config_dict(imagen_params)
+
+    model_size_MB = get_model_size(imagen)
+    save_training_info(args, timestamp, unets_params, imagen_params, model_size_MB, training_dir)
+
+    mesh = make_mesh() if args.MESH == "data" else None
+    optimizer = make_optimizer(args.OPTIM_LR, args.ACCUM_ITER)
+    MinimagenTrain(timestamp, args, unets, imagen, train_dataloader, valid_dataloader,
+                   training_dir, optimizer, timeout=30, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()
