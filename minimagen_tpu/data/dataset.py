@@ -60,13 +60,25 @@ def fetch_single_image(image_url: str, timeout: Optional[float] = None, retries:
 def rescale_image(arr: np.ndarray, side_length: int) -> Optional[np.ndarray]:
     """Resize an HWC [0,1] image to a square and min-max renormalize to [0,1]
     (reference `_Rescale`, training.py:33-56: resize can push values outside
-    [0,1], so it re-standardizes by min/max)."""
+    [0,1], so it re-standardizes by min/max).
+
+    Uses the native C++ antialiased-bicubic path (native/preprocess.cpp) when
+    the shared library is available; PIL otherwise.
+    """
     import PIL.Image  # noqa: PLC0415
 
     if arr.ndim == 2:
         arr = arr[:, :, None]
     elif arr.ndim != 3:
         return None
+
+    from . import native  # noqa: PLC0415
+
+    if native.available():
+        u8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        out = native.resize_image_u8(u8, side_length, renorm=True)
+        if out is not None:
+            return out
 
     img = PIL.Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8).squeeze())
     img = img.resize((side_length, side_length), PIL.Image.BICUBIC)

@@ -54,6 +54,7 @@ from flax import serialization
 
 from .models.imagen import Imagen
 from .models.unet import UnetConfig
+from .utils.profiling import StepTimer
 from .parallel.mesh import (
     create_train_state,
     make_eval_step,
@@ -333,6 +334,7 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
 
     best_loss = np.full(num_unets, 9999999.0)  # init like reference training.py:437
     history: List[Dict[str, Any]] = []
+    timer = StepTimer()
 
     for epoch in range(args.EPOCHS):
         print(f'\n{"-" * 20} EPOCH {epoch + 1} {"-" * 20}')
@@ -351,8 +353,9 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
 
-                state, losses = train_step(state, batch, epoch_key)
-                losses_np = np.asarray(losses)
+                with timer.step():
+                    state, losses = train_step(state, batch, epoch_key)
+                    losses_np = np.asarray(losses)  # blocks on device result
                 running_train_loss += losses_np
 
                 # periodic checkpoint + validation sweep (reference training.py:379-435)
@@ -385,8 +388,13 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                         with open("training_progess.txt", "a") as f:
                             f.write(f"U-Nets Avg Valid Losses: {[round(float(i), 3) for i in avg_valid]}\n")
                             f.write(f"U-Nets Best Valid Losses: {[round(float(i), 3) for i in best_loss]}\n\n")
+                    perf = timer.summary()
+                    with training_dir():
+                        with open("training_progess.txt", "a") as f:
+                            f.write(f"Train steps/sec: {perf['steps_per_sec']:.3f}\n")
                     history.append({"epoch": epoch, "batch": batch_num,
-                                    "train": avg_loss.tolist(), "valid": avg_valid.tolist()})
+                                    "train": avg_loss.tolist(), "valid": avg_valid.tolist(),
+                                    "steps_per_sec": perf["steps_per_sec"]})
             except Exception as e:  # crash dump (reference training.py:465-478)
                 with training_dir():
                     with open("training_progess.txt", "a") as f:
@@ -400,4 +408,4 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
     _dump_tmp(state.params)
     imagen.params = jax.device_get(state.params)
     return {"best_valid_loss": best_loss.tolist(), "history": history,
-            "final_step": int(state.step)}
+            "final_step": int(state.step), "perf": timer.summary()}

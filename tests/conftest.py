@@ -12,6 +12,20 @@ os.environ.setdefault("MINIMAGEN_TPU_T5_FALLBACK", "1")
 
 import jax  # noqa: E402
 
+# The sandbox's sitecustomize registers the axon TPU plugin and force-sets
+# jax_platforms="axon,cpu", overriding the env var — override it back and drop
+# any already-initialized backends so the virtual CPU device count applies.
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb  # noqa: E402
+
+    if _xb.backends_are_initialized():
+        from jax.extend.backend import clear_backends  # noqa: E402
+
+        clear_backends()
+except Exception:
+    pass
+
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: the suite is compile-bound on CPU; caching makes
 # repeat runs fast

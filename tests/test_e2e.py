@@ -64,12 +64,22 @@ def test_tiny_train_checkpoint_reload_sample(tmp_path, monkeypatch):
     assert "Checkpoint created at batch number 0" in log
     assert "Avg Valid Losses" in log
 
-    # reload and verify weights round-trip
+    # reload and verify structure (state_dicts holds the BEST-validation
+    # checkpoint, not the final weights, so values may differ from
+    # imagen.params — the final weights live in tmp/)
     reloaded = load_minimagen(run_dir)
     assert reloaded.num_unets == 2
+    assert (jax.tree_util.tree_structure(reloaded.params["unet_0"])
+            == jax.tree_util.tree_structure(imagen.params["unet_0"]))
+
+    # the tmp/ dump is the final state: exact round-trip of final weights
+    from minimagen_tpu.training import load_unet_checkpoint
+    tmp_params = load_unet_checkpoint(
+        os.path.join(run_dir, "tmp", "unet_0_tmp.ckpt"), imagen.params["unet_0"]
+    )
     orig_leaf = jax.tree_util.tree_leaves(imagen.params["unet_0"])[0]
-    new_leaf = jax.tree_util.tree_leaves(reloaded.params["unet_0"])[0]
-    np.testing.assert_allclose(np.asarray(orig_leaf), np.asarray(new_leaf), atol=1e-6)
+    new_leaf = jax.tree_util.tree_leaves(tmp_params)[0]
+    np.testing.assert_allclose(np.asarray(orig_leaf), np.asarray(new_leaf), atol=1e-7)
 
     # sample_and_save writes provenance + images (reference generate.py:124-173)
     sample_and_save(["a red square"], training_directory=run_dir,
