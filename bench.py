@@ -32,7 +32,7 @@ def main():
     imagen = _flagship_imagen(dtype=dtype)
     L = 64
     key = jax.random.PRNGKey(0)
-    params = imagen.init_params(key, batch_size=2, text_len=L)["unet_0"]
+    params = imagen.init_params(key, batch_size=2, text_len=L, stages=[0])["unet_0"]
     scheduler = imagen.noise_schedulers[0]
 
     rng = np.random.default_rng(0)

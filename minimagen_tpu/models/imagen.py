@@ -159,11 +159,17 @@ class Imagen:
     def num_unets(self) -> int:
         return len(self.unets)
 
-    def init_params(self, key: jax.Array, *, batch_size: int = 2, text_len: int = 8) -> Dict[str, Any]:
-        """Initialize params for every stage; returns {'unet_0': ..., ...}."""
+    def init_params(self, key: jax.Array, *, batch_size: int = 2, text_len: int = 8,
+                    stages: Optional[Sequence[int]] = None) -> Dict[str, Any]:
+        """Initialize params; returns {'unet_0': ..., ...}.
+
+        :param stages: subset of stage indices to initialize (default: all).
+        """
         params: Dict[str, Any] = {}
         keys = jax.random.split(key, self.num_unets)
-        for i, (model, cfg, size) in enumerate(zip(self.unets, self.unet_configs, self.image_sizes)):
+        stages = range(self.num_unets) if stages is None else stages
+        for i in stages:
+            model, cfg, size = self.unets[i], self.unet_configs[i], self.image_sizes[i]
             x = jnp.zeros((batch_size, size, size, self.channels), jnp.float32)
             time = jnp.zeros((batch_size,), jnp.int32)
             text_embeds = jnp.zeros((batch_size, text_len, self.text_embed_dim), jnp.float32)
@@ -174,7 +180,8 @@ class Imagen:
                 kwargs["lowres_noise_times"] = time
             variables = model.init(keys[i], x, time, **kwargs)
             params[f"unet_{i}"] = variables["params"]
-        self.params = params
+        # merge with any previously-initialized stages
+        self.params = {**(self.params or {}), **params}
         return params
 
     def _get_params(self, params):
