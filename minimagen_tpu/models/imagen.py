@@ -189,6 +189,19 @@ class Imagen:
         assert exists(params), "no params: call init_params()/load first or pass params explicitly"
         return params
 
+    def state_dict(self) -> Dict[str, Any]:
+        """The full parameter pytree {'unet_0': ..., ...} (API-parity shim for
+        the reference's overridden state_dict, Imagen.py:221-226; there is no
+        device re-homing to do — params are explicit)."""
+        return self._get_params(None)
+
+    def load_state_dict(self, params: Dict[str, Any]) -> None:
+        """Attach a parameter pytree (reference Imagen.py:228-233)."""
+        assert set(params.keys()) == {f"unet_{i}" for i in range(self.num_unets)}, (
+            f"expected keys unet_0..unet_{self.num_unets - 1}, got {sorted(params)}"
+        )
+        self.params = params
+
     # ------------------------------------------------------------------ #
     # guided forward (pair-batched CFG)                                   #
     # ------------------------------------------------------------------ #

@@ -277,6 +277,24 @@ def save_unet_checkpoint(path: str, unet_params) -> None:
         f.write(serialization.to_bytes(jax.device_get(unet_params)))
 
 
+TRAIN_STATE_FILE = "train_state.ckpt"
+
+
+def save_train_state(path: str, state) -> None:
+    """Serialize the FULL train state (params + optimizer state + step).
+
+    The reference can only resume model weights (optimizer state restarts
+    fresh, train.py:82-87); this restores Adam moments and the step counter
+    too."""
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+
+
+def load_train_state(path: str, template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 def load_unet_checkpoint(path: str, template) -> Any:
     """Deserialize one unet's param tree using `template` for structure."""
     with open(path, "rb") as f:
@@ -310,14 +328,25 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
         args.OPTIM_LR, getattr(args, "ACCUM_ITER", 1)
     )
     state = create_train_state(imagen.params, optimizer)
+
+    # full-state resume (optimizer moments + step), beyond the reference's
+    # weights-only restart
+    restart_dir = getattr(args, "RESTART_DIRECTORY", None)
+    if restart_dir is not None:
+        ts_path = os.path.join(restart_dir, "tmp", TRAIN_STATE_FILE)
+        if os.path.exists(ts_path):
+            state = load_train_state(ts_path, state)
+            print(f"Restored full train state (step {int(state.step)}) from {ts_path}")
     train_step = make_train_step(imagen, optimizer, mesh=mesh)
     eval_step = make_eval_step(imagen, mesh=mesh)
     base_key = jax.random.PRNGKey(seed)
 
-    def _dump_tmp(params):
+    def _dump_tmp(params, full_state=None):
         with training_dir("tmp"):
             for idx in range(num_unets):
                 save_unet_checkpoint(f"unet_{idx}_tmp.{CKPT_EXT}", params[f"unet_{idx}"])
+            if full_state is not None:
+                save_train_state(TRAIN_STATE_FILE, full_state)
 
     def _validate(params, epoch_key):
         running = np.zeros(num_unets)
@@ -364,7 +393,7 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                         with open("training_progess.txt", "a") as f:
                             f.write(f'{"-" * 10}Checkpoint created at batch number {batch_num}{"-" * 10}\n')
 
-                    _dump_tmp(state.params)
+                    _dump_tmp(state.params, full_state=state)
 
                     avg_loss = running_train_loss / max(batch_num, 1)
                     with training_dir():
@@ -401,11 +430,11 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                         f.write(f"\n\nTRAINING ABORTED AT EPOCH {epoch}, BATCH NUMBER {batch_num} "
                                 f"with exception {e}. MOST RECENT STATE DICTS SAVED TO ./tmp IN "
                                 f"TRAINING FOLDER")
-                _dump_tmp(state.params)
+                _dump_tmp(state.params, full_state=state)
                 raise
 
     # final state also goes to tmp so inference always has weights
-    _dump_tmp(state.params)
+    _dump_tmp(state.params, full_state=state)
     imagen.params = jax.device_get(state.params)
     return {"best_valid_loss": best_loss.tolist(), "history": history,
             "final_step": int(state.step), "perf": timer.summary()}

@@ -152,3 +152,38 @@ def test_reference_parameter_jsons_load():
     assert im.noise_schedulers[0].num_timesteps == 25
     assert im.text_encoder_name == "t5_small"
     assert im.unet_configs[1].lowres_cond is True
+
+
+def test_train_state_roundtrip(tmp_path):
+    """Full train-state (params + optimizer moments + step) save/restore."""
+    import jax
+    from minimagen_tpu.parallel.mesh import create_train_state, make_optimizer
+    from minimagen_tpu.training import load_train_state, save_train_state
+
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(8,), timesteps=25,
+                    cond_drop_prob=0.1, text_encoder_name="t5_small")
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=1, text_len=4)
+    opt = make_optimizer(1e-4)
+    state = create_train_state(imagen.params, opt)
+
+    path = str(tmp_path / "train_state.ckpt")
+    save_train_state(path, state)
+    fresh = create_train_state(imagen.params, opt)
+    restored = load_train_state(path, fresh)
+    assert int(restored.step) == int(state.step)
+    import numpy as np
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_imagen_state_dict_shims():
+    import jax
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(8,), timesteps=25,
+                    cond_drop_prob=0.1, text_encoder_name="t5_small")
+    params = imagen.init_params(jax.random.PRNGKey(0), batch_size=1, text_len=4)
+    sd = imagen.state_dict()
+    assert set(sd.keys()) == {"unet_0"}
+    imagen.load_state_dict(sd)
+    with pytest.raises(AssertionError):
+        imagen.load_state_dict({"wrong": 1})
