@@ -96,13 +96,20 @@ def load_minimagen(directory: str) -> Imagen:
             candidates = sorted(f for f in unet_files if f.startswith(f"unet_{i}"))
             path = os.path.join(directory, subdir, candidates[0])
             if path.endswith(".pth"):
-                raise ValueError(
-                    f"{path} is a torch pickle from the PyTorch reference; "
-                    f"minimagen_tpu checkpoints are flax msgpack (.{CKPT_EXT})."
+                # a torch checkpoint from the PyTorch reference: convert in
+                # place (tools/torch_import proves output equivalence)
+                import torch  # noqa: PLC0415
+
+                from .tools.torch_import import convert_unet_state_dict  # noqa: PLC0415
+
+                sd = torch.load(path, map_location="cpu", weights_only=True)
+                minimagen.params[f"unet_{i}"] = convert_unet_state_dict(
+                    sd, minimagen.unet_configs[i]
                 )
-            minimagen.params[f"unet_{i}"] = load_unet_checkpoint(
-                path, minimagen.params[f"unet_{i}"]
-            )
+            else:
+                minimagen.params[f"unet_{i}"] = load_unet_checkpoint(
+                    path, minimagen.params[f"unet_{i}"]
+                )
         return True
 
     if not _load_from("state_dicts"):

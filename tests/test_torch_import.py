@@ -1,0 +1,224 @@
+"""Numerical-parity proof against the actual PyTorch reference.
+
+Imports the real reference U-Net (/root/reference/minimagen/Unet.py) with
+tiny dependency stubs (resize_right/tqdm/einops_exts are absent from this
+image; none of their behavior is exercised by the U-Net forward except
+EinopsToAndFrom, which is faithfully reimplemented below), converts its
+randomly-initialized torch state_dict into our flax param tree with
+`tools.torch_import.convert_unet_state_dict`, and asserts the two forward
+passes agree at identical weights and inputs — architecture + converter
+correctness in one shot.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+REF_PATH = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_PATH), reason="reference not mounted")
+
+
+def _install_stubs():
+    from einops import rearrange, repeat
+
+    if "resize_right" not in sys.modules:
+        m = types.ModuleType("resize_right")
+        m.resize = lambda *a, **k: (_ for _ in ()).throw(NotImplementedError)
+        sys.modules["resize_right"] = m
+
+    if "tqdm" not in sys.modules:
+        m = types.ModuleType("tqdm")
+        m.tqdm = lambda it=None, **k: it
+        sys.modules["tqdm"] = m
+
+    if "einops_exts" not in sys.modules:
+        ee = types.ModuleType("einops_exts")
+
+        def rearrange_many(tensors, pattern, **kw):
+            return tuple(rearrange(t, pattern, **kw) for t in tensors)
+
+        def repeat_many(tensors, pattern, **kw):
+            return tuple(repeat(t, pattern, **kw) for t in tensors)
+
+        def check_shape(t, pattern, **kw):
+            return rearrange(t, f"{pattern} -> {pattern}", **kw)
+
+        ee.rearrange_many = rearrange_many
+        ee.repeat_many = repeat_many
+        ee.check_shape = check_shape
+
+        eet = types.ModuleType("einops_exts.torch")
+
+        class EinopsToAndFrom(torch.nn.Module):
+            def __init__(self, from_einops, to_einops, fn):
+                super().__init__()
+                self.from_einops = from_einops
+                self.to_einops = to_einops
+                self.fn = fn
+
+            def forward(self, x, **kwargs):
+                shape = x.shape
+                axes = dict(zip(self.from_einops.split(), shape))
+                x = rearrange(x, f"{self.from_einops} -> {self.to_einops}")
+                x = self.fn(x, **kwargs)
+                return rearrange(x, f"{self.to_einops} -> {self.from_einops}", **axes)
+
+        eet.EinopsToAndFrom = EinopsToAndFrom
+        ee.torch = eet
+        sys.modules["einops_exts"] = ee
+        sys.modules["einops_exts.torch"] = eet
+
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+
+
+def _reference_unet(**kwargs):
+    _install_stubs()
+    from minimagen.Unet import Unet as RefUnet  # noqa: PLC0415
+
+    torch.manual_seed(0)
+    return RefUnet(**kwargs).eval()
+
+
+CONFIGS = {
+    "plain": dict(dim=16, dim_mults=(1, 2), num_resnet_blocks=1,
+                  layer_attns=False, layer_cross_attns=False, attn_heads=2,
+                  text_embed_dim=512),
+    "attn_cross_mid": dict(dim=16, dim_mults=(1, 2), num_resnet_blocks=(1, 2),
+                           layer_attns=(False, True), layer_cross_attns=(False, True),
+                           attn_heads=2, attend_at_middle=True, text_embed_dim=512),
+    "memory_efficient": dict(dim=16, dim_mults=(1, 2), num_resnet_blocks=(1, 2),
+                             layer_attns=False, layer_cross_attns=(False, True),
+                             attn_heads=2, memory_efficient=True, text_embed_dim=512),
+    "lowres_super": dict(dim=16, dim_mults=(1, 2), num_resnet_blocks=1,
+                         layer_attns=False, layer_cross_attns=(False, True),
+                         attn_heads=2, lowres_cond=True, memory_efficient=True,
+                         text_embed_dim=512),
+}
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_forward_matches_reference_at_identical_weights(name):
+    import jax.numpy as jnp
+
+    from minimagen_tpu.models.unet import UnetConfig, UnetModel
+    from minimagen_tpu.tools.torch_import import convert_unet_state_dict
+
+    kwargs = CONFIGS[name]
+    ref = _reference_unet(**kwargs)
+    cfg = UnetConfig(**kwargs)
+    model = UnetModel(config=cfg)
+
+    params = convert_unet_state_dict(ref.state_dict(), cfg)
+
+    b, size, L = 2, 16, 6
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (b, 3, size, size)).astype(np.float32)
+    t = np.array([3, 17], np.int64)
+    embeds = rng.normal(size=(b, L, 512)).astype(np.float32)
+    mask = np.ones((b, L), bool)
+
+    tkwargs = dict(
+        text_embeds=torch.tensor(embeds),
+        text_mask=torch.tensor(mask),
+        cond_drop_prob=0.0,
+    )
+    jkwargs = dict(
+        text_embeds=jnp.asarray(embeds),
+        text_mask=jnp.asarray(mask),
+    )
+    if kwargs.get("lowres_cond"):
+        lowres = rng.uniform(-1, 1, (b, 3, size, size)).astype(np.float32)
+        lr_t = np.array([5, 9], np.int64)
+        tkwargs["lowres_cond_img"] = torch.tensor(lowres)
+        tkwargs["lowres_noise_times"] = torch.tensor(lr_t)
+        jkwargs["lowres_cond_img"] = jnp.asarray(lowres.transpose(0, 2, 3, 1))
+        jkwargs["lowres_noise_times"] = jnp.asarray(lr_t.astype(np.int32))
+
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), torch.tensor(t), **tkwargs).numpy()
+
+    out = model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t.astype(np.int32)), **jkwargs,
+    )
+    out_nchw = np.asarray(out).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(out_nchw, ref_out, atol=2e-4, rtol=2e-3)
+
+
+def test_converted_params_match_init_structure():
+    """Converted trees must be loadable wherever init_params trees are."""
+    import jax
+
+    from minimagen_tpu.models.unet import UnetConfig, UnetModel
+    from minimagen_tpu.tools.torch_import import convert_unet_state_dict
+
+    kwargs = CONFIGS["attn_cross_mid"]
+    ref = _reference_unet(**kwargs)
+    cfg = UnetConfig(**kwargs)
+    model = UnetModel(config=cfg)
+    converted = convert_unet_state_dict(ref.state_dict(), cfg)
+
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, 16, 16, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    init = model.init(jax.random.PRNGKey(0), x, t,
+                      text_embeds=jnp.zeros((1, 4, 512)),
+                      text_mask=jnp.ones((1, 4), bool))["params"]
+
+    init_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init)[0]}
+    conv_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    assert init_paths == conv_paths, (
+        f"missing={sorted(init_paths - conv_paths)[:5]} "
+        f"extra={sorted(conv_paths - init_paths)[:5]}"
+    )
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(init)[0], key=lambda kv: jax.tree_util.keystr(kv[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(converted)[0], key=lambda kv: jax.tree_util.keystr(kv[0])),
+    ):
+        assert np.shape(a) == np.shape(b), f"{jax.tree_util.keystr(pa)}: {np.shape(a)} vs {np.shape(b)}"
+
+
+def test_load_minimagen_converts_reference_pth(tmp_path, monkeypatch):
+    """A full reference-style training directory with torch .pth checkpoints
+    loads through load_minimagen with transparent conversion."""
+    import json
+
+    from minimagen_tpu.generate import load_minimagen
+
+    kwargs = dict(dim=8, dim_mults=(1, 2), num_resnet_blocks=1,
+                  layer_attns=False, layer_cross_attns=False, attn_heads=2,
+                  text_embed_dim=512)
+    ref = _reference_unet(**kwargs)
+
+    run = tmp_path / "training_ref"
+    for sub in ["parameters", "state_dicts", "tmp"]:
+        (run / sub).mkdir(parents=True)
+    unet_json = {"dim": 8, "dim_mults": [1, 2], "channels": 3, "channels_out": None,
+                 "cond_dim": None, "text_embed_dim": 512, "num_resnet_blocks": 1,
+                 "layer_attns": False, "layer_cross_attns": False, "attn_heads": 2,
+                 "lowres_cond": False, "memory_efficient": False,
+                 "attend_at_middle": False}
+    (run / "parameters" / "unet_0_params_ts.json").write_text(json.dumps(unet_json))
+    (run / "parameters" / "imagen_params_ts.json").write_text(json.dumps({
+        "image_sizes": [16], "timesteps": 25, "cond_drop_prob": 0.1,
+        "text_encoder_name": "t5_small",
+    }))
+    torch.save(ref.state_dict(), run / "state_dicts" / "unet_0_state_ts.pth")
+
+    imagen = load_minimagen(str(run))
+    assert imagen.num_unets == 1
+    # sampled output is finite and bounded -> converted weights actually run
+    import jax
+    import jax.numpy as jnp
+    imgs = imagen.sample(text_embeds=jnp.zeros((1, 4, 512)),
+                         text_masks=jnp.ones((1, 4), bool),
+                         key=jax.random.PRNGKey(0))
+    arr = np.asarray(imgs)
+    assert arr.shape == (1, 16, 16, 3)
+    assert np.all(np.isfinite(arr)) and arr.min() >= 0 and arr.max() <= 1
