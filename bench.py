@@ -36,11 +36,15 @@ def main():
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 
     from __graft_entry__ import _flagship_imagen
+    from minimagen_tpu.parallel.mesh import cast_params
 
     imagen = _flagship_imagen(dtype=dtype)
     L = 64
     key = jax.random.PRNGKey(0)
     params = imagen.init_params(key, batch_size=2, text_len=L, stages=[0])["unet_0"]
+    if os.environ.get("BENCH_PARAM_DTYPE", "bfloat16") == "bfloat16" and dtype == jnp.bfloat16:
+        # serving-style bf16 weights: halves weight HBM reads per step
+        params = cast_params(params, jnp.bfloat16)
     scheduler = imagen.noise_schedulers[0]
 
     rng = np.random.default_rng(0)

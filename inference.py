@@ -5,10 +5,12 @@ cond_scale=3.
 """
 from argparse import ArgumentParser
 
+from minimagen_tpu.utils.platform import respect_jax_platforms_env
 from minimagen_tpu.generate import sample_and_save
 
 
 def main():
+    respect_jax_platforms_env()
     parser = ArgumentParser()
     parser.add_argument("-c", "--CAPTIONS", dest="CAPTIONS",
                         help="Single caption to generate for or filepath for .txt file of captions to generate for",

@@ -130,11 +130,14 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
+        error: list = []
 
         def producer():
             try:
                 for b in batches:
                     q.put(self._fetch_batch(b))
+            except BaseException as e:  # propagate into the consumer
+                error.append(e)
             finally:
                 q.put(_SENTINEL)
 
@@ -146,3 +149,5 @@ class DataLoader:
                 break
             yield item
         t.join()
+        if error:
+            raise error[0]

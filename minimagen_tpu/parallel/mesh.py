@@ -95,6 +95,17 @@ def place_params(params, shardings):
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+def cast_params(params, dtype):
+    """Cast floating-point leaves of a param tree (e.g. to bfloat16 for
+    serving: halves weight HBM traffic; training should keep f32 masters)."""
+    def cast(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(cast, params)
+
+
 # --------------------------------------------------------------------------- #
 # train state / step                                                          #
 # --------------------------------------------------------------------------- #

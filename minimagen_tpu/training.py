@@ -424,14 +424,16 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                     history.append({"epoch": epoch, "batch": batch_num,
                                     "train": avg_loss.tolist(), "valid": avg_valid.tolist(),
                                     "steps_per_sec": perf["steps_per_sec"]})
-            except Exception as e:  # crash dump (reference training.py:465-478)
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:  # crash dump then CONTINUE with the next
+                # batch, matching the reference handler (training.py:465-478)
                 with training_dir():
                     with open("training_progess.txt", "a") as f:
                         f.write(f"\n\nTRAINING ABORTED AT EPOCH {epoch}, BATCH NUMBER {batch_num} "
                                 f"with exception {e}. MOST RECENT STATE DICTS SAVED TO ./tmp IN "
                                 f"TRAINING FOLDER")
                 _dump_tmp(state.params, full_state=state)
-                raise
 
     # final state also goes to tmp so inference always has weights
     _dump_tmp(state.params, full_state=state)

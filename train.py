@@ -14,6 +14,7 @@ import jax
 
 from minimagen_tpu.models.imagen import Imagen
 from minimagen_tpu.models.unet import Base, BaseTest, Super, SuperTest, Unet
+from minimagen_tpu.utils.platform import respect_jax_platforms_env
 from minimagen_tpu.generate import load_minimagen, load_params
 from minimagen_tpu.parallel.mesh import make_mesh, make_optimizer
 from minimagen_tpu.training import (
@@ -24,6 +25,7 @@ from minimagen_tpu.training import (
     create_directory,
     get_default_args,
     get_minimagen_dl_opts,
+    get_minimagen_parser,
     get_model_params,
     get_model_size,
     imagen_config_dict,
@@ -34,6 +36,7 @@ from minimagen_tpu.training import (
 
 
 def main():
+    respect_jax_platforms_env()
     parser = get_minimagen_parser()
     # extra args beyond the reference parser (train.py:22-23 adds TIMESTAMP)
     parser.add_argument("-ts", "--TIMESTAMP", dest="timestamp",
