@@ -237,10 +237,10 @@ class Imagen:
     # ------------------------------------------------------------------ #
     # sampling                                                            #
     # ------------------------------------------------------------------ #
-    def _p_mean_variance(self, stage, scheduler, unet_params, x, t, *, text_embeds, text_mask,
+    def _predict_x_start(self, stage, scheduler, unet_params, x, t, *, text_embeds, text_mask,
                          lowres_cond_img, lowres_noise_times, cond_scale, guided: bool):
-        """Predict noise, recover x0, dynamic-threshold it, return posterior
-        parameters (reference Imagen.py:261-326)."""
+        """Predict noise with the U-Net (pair-batched CFG when guided),
+        recover x0, and dynamic-threshold it (reference Imagen.py:298-323)."""
         if guided:
             pred = self._cfg_forward(
                 stage, unet_params, x, t, text_embeds=text_embeds, text_mask=text_mask,
@@ -265,19 +265,34 @@ class Imagen:
         )
         s = jnp.clip(s, 1.0, None)
         s = right_pad_dims_to(x_start, s).astype(x_start.dtype)
-        x_start = jnp.clip(x_start, -s, s) / s
+        return jnp.clip(x_start, -s, s) / s
 
+    def _p_mean_variance(self, stage, scheduler, unet_params, x, t, *, text_embeds, text_mask,
+                         lowres_cond_img, lowres_noise_times, cond_scale, guided: bool):
+        """Posterior parameters from the thresholded x0 prediction
+        (reference Imagen.py:261-326)."""
+        x_start = self._predict_x_start(
+            stage, scheduler, unet_params, x, t, text_embeds=text_embeds, text_mask=text_mask,
+            lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
+            cond_scale=cond_scale, guided=guided,
+        )
         return scheduler.q_posterior(x_start=x_start, x_t=x, t=t)
 
-    def _build_sample_stage(self, stage: int, guided: bool):
+    def _build_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
+                            sample_steps: Optional[int] = None):
         """A jittable full reverse-diffusion pass for one cascade stage.
 
         Returns fn(params, key, shape-bearing args...) -> [0,1] images.
         The timestep loop is a single `lax.scan` (compare the reference's
         per-step Python loop, Imagen.py:372-420).
+
+        :param sampler: 'ddpm' (reference-faithful ancestral sampling over all
+            T steps) or 'ddim' (deterministic strided sampling over
+            `sample_steps` steps — a TPU-era fast path beyond the reference).
         """
         scheduler = self.noise_schedulers[stage]
         has_lowres = self.unet_configs[stage].lowres_cond
+        assert sampler in ("ddpm", "ddim"), f"unknown sampler {sampler!r}"
 
         def sample_fn(unet_params, key, text_embeds, text_mask, cond_scale,
                       lowres_cond_img=None, lowres_noise_times=None, init_noise=None):
@@ -292,9 +307,7 @@ class Imagen:
             key, init_key = jax.random.split(key)
             img = default(init_noise, lambda: jax.random.normal(init_key, shape, jnp.float32))
 
-            times = scheduler.sampling_timesteps()  # (T,) descending
-
-            def step(carry, t_scalar):
+            def ddpm_step(carry, t_scalar):
                 img, key = carry
                 key, noise_key = jax.random.split(key)
                 t = jnp.full((b,), t_scalar, jnp.int32)
@@ -309,16 +322,39 @@ class Imagen:
                 img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
                 return (img, key), None
 
-            (img, _), _ = jax.lax.scan(step, (img, key), times)
+            def ddim_step(carry, t_pair):
+                img, key = carry
+                t = jnp.full((b,), t_pair[0], jnp.int32)
+                t_prev = jnp.full((b,), t_pair[1], jnp.int32)
+                x0 = self._predict_x_start(
+                    stage, scheduler, unet_params, img, t,
+                    text_embeds=text_embeds, text_mask=text_mask,
+                    lowres_cond_img=lowres, lowres_noise_times=lowres_noise_times,
+                    cond_scale=cond_scale, guided=guided,
+                )
+                img = scheduler.ddim_step(img, x0, t, t_prev)
+                return (img, key), None
+
+            if sampler == "ddpm":
+                times = scheduler.sampling_timesteps()  # (T,) descending
+                (img, _), _ = jax.lax.scan(ddpm_step, (img, key), times)
+            else:
+                steps = default(sample_steps, min(50, scheduler.num_timesteps))
+                pairs = jnp.asarray(scheduler.strided_sampling_timesteps(steps))
+                (img, _), _ = jax.lax.scan(ddim_step, (img, key), pairs)
+
             img = jnp.clip(img, -1.0, 1.0)
             return self.unnormalize_img(img)
 
         return sample_fn
 
-    def _jitted_sample_stage(self, stage: int, guided: bool):
-        cache_key = ("sample", stage, guided)
+    def _jitted_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
+                             sample_steps: Optional[int] = None):
+        cache_key = ("sample", stage, guided, sampler, sample_steps)
         if cache_key not in self._jit_cache:
-            self._jit_cache[cache_key] = jax.jit(self._build_sample_stage(stage, guided))
+            self._jit_cache[cache_key] = jax.jit(
+                self._build_sample_stage(stage, guided, sampler, sample_steps)
+            )
         return self._jit_cache[cache_key]
 
     def sample(
@@ -334,6 +370,9 @@ class Imagen:
         key: Optional[jax.Array] = None,
         return_all_stage_outputs: bool = False,
         data_format: str = "NHWC",
+        sampler: str = "ddpm",
+        sample_steps: Optional[int] = None,
+        device=None,
     ):
         """Generate images for captions (reference Imagen.py:422-510).
 
@@ -346,6 +385,12 @@ class Imagen:
             varied samples).
         :param data_format: 'NHWC' (native) or 'NCHW' (reference layout) for
             the returned array.
+        :param sampler: 'ddpm' (reference-faithful, all T steps) or 'ddim'
+            (deterministic strided sampling — `sample_steps` model calls
+            instead of T; fast path beyond the reference).
+        :param sample_steps: number of DDIM steps (default min(50, T)).
+        :param device: accepted for reference API parity (Imagen.py:432) and
+            ignored — placement follows the params' sharding.
         :return: (b, s, s, c) images in [0,1] from the final stage, or PIL
             images if `return_pil_images`.
         """
@@ -387,7 +432,7 @@ class Imagen:
                     noise=jax.random.normal(aug_key, lowres_cond_img.shape, lowres_cond_img.dtype),
                 )
 
-            sample_fn = self._jitted_sample_stage(stage, guided)
+            sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps)
             img = sample_fn(
                 params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
                 jnp.float32(cond_scale), lowres_cond_img, lowres_noise_times,

@@ -101,6 +101,38 @@ class GaussianDiffusion:
         """
         return jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
 
+    def strided_sampling_timesteps(self, num_steps: int) -> np.ndarray:
+        """(num_steps, 2) array of (t, t_prev) pairs, descending, evenly
+        strided over [0, T) and ending at t=0 with t_prev=-1.
+
+        Used by the DDIM sampler (a TPU-era capability beyond the reference,
+        which always walks all T steps, Imagen.py:395-415): sampling cost
+        drops from T model calls to `num_steps`.
+        """
+        assert 1 <= num_steps <= self.num_timesteps
+        ts = np.linspace(0, self.num_timesteps - 1, num_steps).round().astype(np.int64)
+        ts = np.unique(ts)[::-1]  # descending, unique
+        t_prev = np.concatenate([ts[1:], [-1]])
+        return np.stack([ts, t_prev], axis=1)
+
+    def ddim_step(self, x_t: jnp.ndarray, x0: jnp.ndarray, t: jnp.ndarray,
+                  t_prev: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic DDIM (eta=0) update from timestep `t` to `t_prev`.
+
+        x_{t_prev} = sqrt(abar_prev) x0 + sqrt(1 - abar_prev) eps_hat, with
+        eps_hat re-derived from (x_t, x0).  `t_prev < 0` means "to x0".
+        (Song et al., Denoising Diffusion Implicit Models, 2020.)
+        """
+        nd = x_t.ndim
+        abar_t = extract(self.alphas_cumprod, t, nd)
+        tp = t_prev.reshape(t_prev.shape[0], *((1,) * (nd - 1)))
+        # t_prev < 0 -> abar_prev = 1 (fully denoised)
+        abar_prev = jnp.where(
+            tp < 0, 1.0, extract(self.alphas_cumprod, jnp.maximum(t_prev, 0), nd)
+        )
+        eps = (x_t - jnp.sqrt(abar_t) * x0) * jax.lax.rsqrt(1.0 - abar_t)
+        return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1.0 - abar_prev) * eps
+
 
 def create_gaussian_diffusion(timesteps: int) -> GaussianDiffusion:
     """Build the schedule in float64 numpy; store float32 device buffers.

@@ -174,3 +174,57 @@ def test_dynamic_thresholding_bounds_x_start():
         lowres_noise_times=None, cond_scale=1.0, guided=False,
     )
     assert np.all(np.isfinite(np.asarray(mean)))
+
+
+def test_ddim_strided_timesteps():
+    from minimagen_tpu.ops.diffusion import create_gaussian_diffusion
+
+    gd = create_gaussian_diffusion(100)
+    pairs = gd.strided_sampling_timesteps(10)
+    assert pairs[0][0] == 99 and pairs[-1][0] == 0 and pairs[-1][1] == -1
+    # strictly descending t, and t_prev == next row's t
+    ts = pairs[:, 0]
+    assert np.all(np.diff(ts) < 0)
+    np.testing.assert_array_equal(pairs[:-1, 1], pairs[1:, 0])
+
+
+def test_ddim_step_terminal_returns_x0():
+    """At t_prev=-1 the DDIM update must return exactly the predicted x0."""
+    from minimagen_tpu.ops.diffusion import create_gaussian_diffusion
+
+    gd = create_gaussian_diffusion(50)
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (2, 4, 4, 3), minval=-1, maxval=1)
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.array([10, 30])
+    xt = gd.q_sample(x0, t, noise)
+    out = gd.ddim_step(xt, x0, t, jnp.array([-1, -1]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-4)
+
+
+def test_ddim_step_consistent_with_forward_process():
+    """With the TRUE x0, stepping t -> t_prev must land on q_sample(x0, t_prev)
+    with the same implied noise."""
+    from minimagen_tpu.ops.diffusion import create_gaussian_diffusion
+
+    gd = create_gaussian_diffusion(50)
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (2, 4, 4, 3), minval=-1, maxval=1)
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.array([40, 40])
+    t_prev = jnp.array([20, 20])
+    xt = gd.q_sample(x0, t, noise)
+    stepped = gd.ddim_step(xt, x0, t, t_prev)
+    expected = gd.q_sample(x0, t_prev, noise)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(expected), atol=1e-4)
+
+
+def test_sample_ddim_fast_path(cascade):
+    _, embeds, mask = _batch()
+    imgs = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                          sampler="ddim", sample_steps=8, key=jax.random.PRNGKey(2))
+    assert imgs.shape == (2, 16, 16, 3)
+    arr = np.asarray(imgs)
+    assert np.all(np.isfinite(arr)) and arr.min() >= 0.0 and arr.max() <= 1.0
+    # deterministic given the key (eta=0) and distinct from ddpm output
+    imgs2 = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                           sampler="ddim", sample_steps=8, key=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs2))
