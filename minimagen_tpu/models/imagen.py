@@ -93,6 +93,7 @@ class Imagen:
         dynamic_thresholding_percentile: float = 0.9,
         only_train_unet_number: Optional[int] = None,
         dtype: Any = jnp.float32,
+        remat: bool = False,
     ):
         self.loss_type = loss_type
         self.loss_fn = _loss_fn(loss_type)
@@ -127,7 +128,9 @@ class Imagen:
                     channels_out=self.channels,
                 )
             )
-        self.unets: List[UnetModel] = [UnetModel(config=c, dtype=dtype) for c in self.unet_configs]
+        self.unets: List[UnetModel] = [
+            UnetModel(config=c, dtype=dtype, remat=remat) for c in self.unet_configs
+        ]
 
         self.image_sizes = cast_tuple(image_sizes)
         assert num_unets == len(self.image_sizes), (

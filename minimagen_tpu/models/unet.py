@@ -203,6 +203,7 @@ class UnetModel(nn.Module):
 
     config: UnetConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize Resnet/Transformer blocks (memory for FLOPs)
 
     def _time_condition(self, time: jnp.ndarray, lowres_noise_times: Optional[jnp.ndarray]):
         """time -> (t, time_tokens); duplicate pathway for the low-res
@@ -336,6 +337,14 @@ class UnetModel(nn.Module):
         cond_dim = cfg.resolved_cond_dim
         tcd = cfg.time_cond_dim
 
+        # optional rematerialization of the heavy blocks: activations inside
+        # each block are recomputed during backward instead of stored
+        # (jax.checkpoint via nn.remat), trading ~30% FLOPs for O(depth)
+        # activation memory — the TPU-native answer to the reference's
+        # CPU<->GPU unet swapping (Imagen.py:180-259)
+        RB = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        TB = nn.remat(TransformerBlock) if self.remat else TransformerBlock
+
         # DOWN path (reference Unet.py:204-261, forward :412-432)
         hiddens = []
         skip_dims = []
@@ -349,20 +358,20 @@ class UnetModel(nn.Module):
                 current_dim = dim_out
             skip_dims.append(current_dim)
 
-            x = ResnetBlock(
+            x = RB(
                 current_dim, current_dim, cond_dim=layer_cond, time_cond_dim=tcd,
                 groups=groups, dtype=self.dtype, name=f"down{ind}_init_block",
             )(x, t, c)
 
             for j in range(nblocks):
-                x = ResnetBlock(
+                x = RB(
                     current_dim, current_dim, time_cond_dim=tcd, groups=groups,
                     dtype=self.dtype, name=f"down{ind}_block{j}",
                 )(x, t)
                 hiddens.append(x)
 
             if layer_attn:
-                x = TransformerBlock(
+                x = TB(
                     dim=current_dim, heads=cfg.attn_heads, dim_head=ATTN_DIM_HEAD,
                     dtype=self.dtype, name=f"down{ind}_attn",
                 )(x)
@@ -377,7 +386,7 @@ class UnetModel(nn.Module):
         # MIDDLE (reference Unet.py:263-278, forward :437-440)
         mid_dim = cfg.dim * cfg.dim_mults[-1]
         mid_groups = layer_params[-1][2]  # resnet_groups of the deepest layer
-        x = ResnetBlock(
+        x = RB(
             mid_dim, mid_dim, cond_dim=cond_dim, time_cond_dim=tcd, groups=mid_groups,
             dtype=self.dtype, name="mid_block1",
         )(x, t, c)
@@ -389,7 +398,7 @@ class UnetModel(nn.Module):
                 dtype=self.dtype, name="mid_attn",
             )(tokens)
             x = tokens.reshape(b, h, w, cch)
-        x = ResnetBlock(
+        x = RB(
             mid_dim, mid_dim, cond_dim=cond_dim, time_cond_dim=tcd, groups=mid_groups,
             dtype=self.dtype, name="mid_block2",
         )(x, t, c)
@@ -403,20 +412,20 @@ class UnetModel(nn.Module):
             skip_dim = skip_dims.pop()
 
             x = jnp.concatenate([x, hiddens.pop() * skip_connect_scale], axis=-1)
-            x = ResnetBlock(
+            x = RB(
                 dim_out + skip_dim, dim_out, cond_dim=layer_cond, time_cond_dim=tcd,
                 groups=groups, dtype=self.dtype, name=f"up{rev_ind}_init_block",
             )(x, t, c)
 
             for j in range(nblocks):
                 x = jnp.concatenate([x, hiddens.pop() * skip_connect_scale], axis=-1)
-                x = ResnetBlock(
+                x = RB(
                     dim_out + skip_dim, dim_out, time_cond_dim=tcd, groups=groups,
                     dtype=self.dtype, name=f"up{rev_ind}_block{j}",
                 )(x, t)
 
             if layer_attn:
-                x = TransformerBlock(
+                x = TB(
                     dim=dim_out, heads=cfg.attn_heads, dim_head=ATTN_DIM_HEAD,
                     dtype=self.dtype, name=f"up{rev_ind}_attn",
                 )(x)
@@ -425,7 +434,7 @@ class UnetModel(nn.Module):
                 x = Upsample(dim_in, dtype=self.dtype, name=f"up{rev_ind}_upsample")(x)
 
         # final block + projection (reference Unet.py:317-328, forward :468-472)
-        x = ResnetBlock(
+        x = RB(
             cfg.dim, cfg.dim, time_cond_dim=tcd, groups=layer_params[0][2],
             dtype=self.dtype, name="final_res_block",
         )(x, t)

@@ -259,10 +259,11 @@ def imagen_config_dict(imagen_kwargs: Dict[str, Any]) -> Dict[str, Any]:
     """Complete an Imagen kwargs dict with defaults for the config JSON
     (same completion step as reference train.py:89-91)."""
     defaults = get_default_args(Imagen)
-    defaults.pop("dtype", None)
+    for k in ("dtype", "remat"):
+        defaults.pop(k, None)
     out = {**defaults, **imagen_kwargs}
-    out.pop("unets", None)
-    out.pop("dtype", None)
+    for k in ("unets", "dtype", "remat"):
+        out.pop(k, None)
     if isinstance(out.get("image_sizes"), tuple):
         out["image_sizes"] = list(out["image_sizes"])
     return out

@@ -189,3 +189,31 @@ def test_unet_is_jittable():
 
     out = fwd(variables, x, time, kwargs["text_embeds"], kwargs["text_mask"])
     assert out.shape == x.shape
+
+
+def test_remat_preserves_outputs_and_grads():
+    """nn.remat blocks must not change forward values or gradients."""
+    cfg = UnetConfig(dim=8, dim_mults=(1, 2), num_resnet_blocks=1,
+                     layer_attns=(False, True), layer_cross_attns=(False, True), attn_heads=2)
+    plain = UnetModel(config=cfg, remat=False)
+    remat = UnetModel(config=cfg, remat=True)
+    x, time, kwargs = _make_inputs()
+    variables = plain.init(KEY, x, time, **kwargs)
+
+    out_a = plain.apply(variables, x, time, **kwargs)
+    out_b = remat.apply(variables, x, time, **kwargs)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+    def loss(m):
+        def f(v):
+            return jnp.sum(m.apply(v, x, time, **kwargs) ** 2)
+        return f
+
+    ga = jax.grad(loss(plain))(variables)["params"]
+    gb = jax.grad(loss(remat))(variables)["params"]
+    # recompute-order changes introduce cancellation noise in tiny individual
+    # grads; assert the GLOBAL relative error is float-noise-level instead
+    fa = jnp.concatenate([l.ravel() for l in jax.tree_util.tree_leaves(ga)])
+    fb = jnp.concatenate([l.ravel() for l in jax.tree_util.tree_leaves(gb)])
+    rel = float(jnp.linalg.norm(fa - fb) / jnp.linalg.norm(fa))
+    assert rel < 1e-5, f"remat changed gradients: global rel err {rel}"
