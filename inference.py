@@ -17,6 +17,11 @@ def main():
                         default=None, type=str)
     parser.add_argument("-d", "--TRAINING_DIRECTORY", dest="TRAINING_DIRECTORY",
                         help="Training directory to use for inference", type=str)
+    # beyond the reference CLI: fast strided sampling
+    parser.add_argument("--SAMPLER", dest="SAMPLER", choices=["ddpm", "ddim"], default="ddpm",
+                        help="ddpm = reference-faithful full-T sampling; ddim = strided fast path")
+    parser.add_argument("--SAMPLE_STEPS", dest="SAMPLE_STEPS", type=int, default=None,
+                        help="Number of DDIM steps (default min(50, T))")
     args = parser.parse_args()
 
     if args.CAPTIONS is None:
@@ -29,8 +34,11 @@ def main():
             lines = f.readlines()
         captions = [line[:-1] if line.endswith("\n") else line for line in lines]
 
+    sample_args = {"cond_scale": 3.0, "sampler": args.SAMPLER}
+    if args.SAMPLE_STEPS is not None:
+        sample_args["sample_steps"] = args.SAMPLE_STEPS
     sample_and_save(captions, training_directory=args.TRAINING_DIRECTORY,
-                    sample_args={"cond_scale": 3.0})
+                    sample_args=sample_args)
 
 
 if __name__ == "__main__":

@@ -1,1 +1,2 @@
 from . import profiling
+from . import platform
