@@ -133,3 +133,47 @@ def test_grad_accumulation_multisteps():
     state, _ = step(state, batch, jax.random.PRNGKey(1))
     p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     assert not np.allclose(p0, p2)  # second microstep: applied
+
+
+def test_cascade_stage_parallel_training():
+    """Each cascade stage trains on its own 4-device group; losses decrease
+    and per-stage numerics match the single-device per-stage step."""
+    from minimagen_tpu.models.imagen import Imagen
+    from minimagen_tpu.models.unet import BaseTest, SuperTest
+    from minimagen_tpu.parallel.cascade import (
+        CascadeParallelTrainer,
+        make_stage_meshes,
+        make_stage_train_step,
+    )
+
+    imagen = Imagen(unets=[BaseTest(), SuperTest()], image_sizes=(8, 16), timesteps=25,
+                    cond_drop_prob=0.15, text_encoder_name="t5_small")
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=4)
+
+    meshes = make_stage_meshes(2)
+    assert all(m.shape == {"data": 4, "model": 1} for m in meshes)
+    # the two groups are disjoint
+    d0 = {d.id for d in meshes[0].devices.flatten()}
+    d1 = {d.id for d in meshes[1].devices.flatten()}
+    assert d0.isdisjoint(d1)
+
+    opt = make_optimizer(1e-4)
+    trainer = CascadeParallelTrainer(imagen, opt, meshes, donate=False)
+    batch = _batch(b=8, size=16)
+
+    key = jax.random.PRNGKey(7)
+    losses = trainer.step(batch, key)
+    assert losses.shape == (2,) and np.all(np.isfinite(losses))
+
+    # single-device per-stage reference numerics
+    ref_state = create_train_state(imagen.params["unet_0"], opt)
+    ref_step = make_stage_train_step(imagen, 0, opt, mesh=None, donate=False)
+    _, ref_loss = ref_step(ref_state, batch, key)
+    np.testing.assert_allclose(losses[0], float(ref_loss), rtol=2e-4)
+
+    # a few more steps run and stay finite
+    for i in range(2):
+        losses = trainer.step(batch, jax.random.PRNGKey(i))
+        assert np.all(np.isfinite(losses))
+    p = trainer.params
+    assert set(p) == {"unet_0", "unet_1"}
