@@ -29,7 +29,9 @@ from ..ops.helpers import cast_tuple
 def _np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
-    return t.detach().cpu().numpy()  # torch tensor
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()  # torch tensor
+    return t  # tagged stand-in (export path)
 
 
 def _linear(sd, tname, bias=True) -> Dict[str, np.ndarray]:
@@ -220,6 +222,207 @@ def convert_unet_state_dict(sd: Dict[str, Any], config: UnetConfig) -> Dict[str,
     p["final_res_block"] = _resnet_block(sd, "final_res_block")
     p["final_conv"] = _conv(sd, "final_conv")
     return p
+
+
+def export_unet_state_dict(params: Dict[str, Any], config: UnetConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_unet_state_dict`: flax param tree -> a
+    reference-named torch-layout state_dict (numpy values; wrap with
+    `torch.tensor` to save as .pth), so TPU-trained weights load into the
+    PyTorch reference.
+
+    Implemented by converting a template the other way and inverting each
+    leaf's layout transform, so the name mapping lives in ONE place.
+    """
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, path)
+            else:
+                flat[path] = np.asarray(v)
+
+    walk(params)
+
+    # build the forward name map by converting a shape-preserving index tree:
+    # for each torch key we record which flax path each converted leaf came
+    # from by re-running the converter over a "tagged" state dict.
+    ref_keys = _reference_key_list(config)
+    tagged = {k: _Tag(k) for k in ref_keys}
+    converted = convert_unet_state_dict(tagged, config)
+
+    out: Dict[str, np.ndarray] = {}
+
+    def invert(tree, prefix=""):
+        for k, v in tree.items():
+            path = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                invert(v, path)
+                continue
+            leaf = flat[path]
+            torch_key, transform = v.key, v.transform
+            if transform == "linear_w":
+                out[torch_key] = leaf.T
+            elif transform == "conv_w":
+                out[torch_key] = leaf.transpose(3, 2, 0, 1)
+            elif transform == "conv1x1_w":
+                out[torch_key] = leaf.T[:, :, None, None]
+            elif transform == "chan_g":
+                out[torch_key] = leaf.reshape(1, -1, 1, 1)
+            else:  # identity
+                out[torch_key] = leaf
+
+    invert(converted)
+
+    # frozen-zero beta buffers of the scale-only LayerNorms exist in the
+    # reference state_dict; emit zeros with the right shape
+    for k in ref_keys:
+        if k.endswith(".gamma"):
+            beta_key = k[: -len("gamma")] + "beta"
+            out[beta_key] = np.zeros_like(out[k])
+    return out
+
+
+class _Tag:
+    """Stand-in leaf recording (torch key, layout transform) through the
+    forward converter."""
+
+    def __init__(self, key: str, transform: str = "id"):
+        self.key = key
+        self.transform = transform
+
+    # the converter applies numpy ops to leaves; intercept the ones it uses
+    @property
+    def T(self):
+        return _Tag(self.key, "linear_w")
+
+    def transpose(self, *axes):
+        if axes == (2, 3, 1, 0):
+            return _Tag(self.key, "conv_w")
+        raise NotImplementedError(axes)
+
+    def __getitem__(self, idx):
+        # conv1x1-as-dense does w[:, :, 0, 0].T — mark and swallow the .T
+        return _Tag1x1(self.key)
+
+    def reshape(self, *shape):
+        return _Tag(self.key, "chan_g")
+
+
+class _Tag1x1(_Tag):
+    def __init__(self, key):
+        super().__init__(key, "conv1x1_w")
+
+    @property
+    def T(self):
+        return self
+
+
+def _reference_key_list(config: UnetConfig):
+    """All torch state_dict keys the converter may read for `config`.
+
+    Derived from the reference module tree (Unet.py:25-328); includes the
+    stem-conv count probe keys the converter scans for.
+    """
+    keys = []
+
+    def linear(name):
+        keys.extend([f"{name}.weight", f"{name}.bias"])
+
+    def conv(name):
+        keys.extend([f"{name}.weight", f"{name}.bias"])
+
+    def conv_nb(name):
+        keys.append(f"{name}.weight")
+
+    def scale_ln(name):
+        keys.append(f"{name}.gamma")
+
+    def affine_ln(name):
+        keys.extend([f"{name}.weight", f"{name}.bias"])
+
+    def chan_ln(name):
+        keys.append(f"{name}.g")
+
+    def attention(p):
+        scale_ln(f"{p}.norm")
+        keys.append(f"{p}.null_kv")
+        conv_nb(f"{p}.to_q")  # Linear no-bias: weight only
+        conv_nb(f"{p}.to_kv")
+        conv_nb(f"{p}.to_out.0")
+        scale_ln(f"{p}.to_out.1")
+
+    def resnet(p, has_time=True, has_cross=False, has_res=False):
+        if has_time:
+            linear(f"{p}.time_mlp.1")
+        if has_cross:
+            attention(f"{p}.cross_attn.fn")
+        for blk in ("block1", "block2"):
+            keys.extend([f"{p}.{blk}.groupnorm.weight", f"{p}.{blk}.groupnorm.bias"])
+            conv(f"{p}.{blk}.project")
+        if has_res:
+            conv(f"{p}.res_conv")
+
+    def transformer(p):
+        attention(f"{p}.attn.fn")
+        chan_ln(f"{p}.ff.0")
+        conv_nb(f"{p}.ff.1")
+        chan_ln(f"{p}.ff.3")
+        conv_nb(f"{p}.ff.4")
+
+    linear("to_time_hiddens.1")
+    linear("to_time_cond.0")
+    linear("to_time_tokens.0")
+    if config.lowres_cond:
+        linear("to_lowres_time_hiddens.1")
+        linear("to_lowres_time_cond.0")
+        linear("to_lowres_time_tokens.0")
+    affine_ln("norm_cond")
+    linear("text_to_cond")
+    keys.extend(["null_text_embed", "null_text_hidden"])
+    affine_ln("to_text_non_attn_cond.0")
+    linear("to_text_non_attn_cond.1")
+    linear("to_text_non_attn_cond.3")
+    for i in range(3):  # CrossEmbed stem kernels (3, 7, 15)
+        conv(f"init_conv.convs.{i}")
+
+    layer_params = config.layer_params()
+    n = len(layer_params)
+    for L, (_, nblocks, _, layer_attn, layer_cross) in enumerate(layer_params):
+        is_last = L == n - 1
+        if config.memory_efficient:
+            conv(f"downs.{L}.0")
+        resnet(f"downs.{L}.1", has_cross=layer_cross)
+        for j in range(nblocks):
+            resnet(f"downs.{L}.2.{j}")
+        if layer_attn:
+            transformer(f"downs.{L}.3")
+        if not config.memory_efficient:
+            if not is_last:
+                conv(f"downs.{L}.4")
+            else:
+                conv(f"downs.{L}.4.fns.0")
+                conv(f"downs.{L}.4.fns.1")
+
+    resnet("mid_block1", has_cross=True)
+    resnet("mid_block2", has_cross=True)
+    if config.attend_at_middle:
+        attention("mid_attn.fn.fn")
+
+    for R, (_, nblocks, _, layer_attn, layer_cross) in enumerate(reversed(layer_params)):
+        is_last = R == n - 1
+        resnet(f"ups.{R}.0", has_cross=layer_cross, has_res=True)
+        for j in range(nblocks):
+            resnet(f"ups.{R}.1.{j}", has_res=True)
+        if layer_attn:
+            transformer(f"ups.{R}.2")
+        if not is_last or config.memory_efficient:
+            conv(f"ups.{R}.3.1")
+
+    resnet("final_res_block")
+    conv("final_conv")
+    return keys
 
 
 def convert_reference_training_dir(directory: str):

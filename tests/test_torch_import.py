@@ -222,3 +222,31 @@ def test_load_minimagen_converts_reference_pth(tmp_path, monkeypatch):
     arr = np.asarray(imgs)
     assert arr.shape == (1, 16, 16, 3)
     assert np.all(np.isfinite(arr)) and arr.min() >= 0 and arr.max() <= 1
+
+
+def test_export_roundtrip_matches_reference_state_dict():
+    """import -> export must reproduce the reference state_dict exactly (keys
+    and values), and the exported dict must load back into the torch module."""
+    from minimagen_tpu.models.unet import UnetConfig
+    from minimagen_tpu.tools.torch_import import (
+        convert_unet_state_dict,
+        export_unet_state_dict,
+    )
+
+    kwargs = CONFIGS["attn_cross_mid"]
+    ref = _reference_unet(**kwargs)
+    cfg = UnetConfig(**kwargs)
+    sd = {k: v for k, v in ref.state_dict().items()}
+
+    params = convert_unet_state_dict(sd, cfg)
+    exported = export_unet_state_dict(params, cfg)
+
+    assert set(exported.keys()) == set(sd.keys()), (
+        f"missing={sorted(set(sd) - set(exported))[:5]} "
+        f"extra={sorted(set(exported) - set(sd))[:5]}"
+    )
+    for k in sd:
+        np.testing.assert_allclose(exported[k], sd[k].numpy(), atol=1e-6, err_msg=k)
+
+    # strict torch reload works
+    ref.load_state_dict({k: torch.tensor(v) for k, v in exported.items()}, strict=True)
