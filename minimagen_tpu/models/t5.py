@@ -59,19 +59,39 @@ def get_encoded_dim(name: str) -> int:
 
 
 def _try_load_hf(name: str):
-    """Load (tokenizer, torch encoder) from the HF cache/network; None on failure."""
+    """Load (kind, tokenizer, encoder) from the HF cache/network; None on failure.
+
+    Prefers the Flax T5 encoder (runs ON the TPU next to the diffusion model —
+    the TPU-native path) and falls back to the torch encoder on the host.
+    """
     if name in _MODELS:
         return _MODELS[name]
     if os.environ.get(FORCE_FALLBACK_ENV):
         return None
-    try:
-        from transformers import T5EncoderModel, T5Tokenizer  # noqa: PLC0415
 
-        handle = T5_VERSIONS[name]["handle"]
+    handle = T5_VERSIONS[name]["handle"]
+    tok = None
+    try:
+        from transformers import T5Tokenizer  # noqa: PLC0415
+
         tok = T5Tokenizer.from_pretrained(handle)
+    except Exception:
+        return None
+
+    try:
+        from transformers import FlaxT5EncoderModel  # noqa: PLC0415
+
+        model = FlaxT5EncoderModel.from_pretrained(handle)
+        _MODELS[name] = ("flax", tok, model)
+        return _MODELS[name]
+    except Exception:
+        pass
+    try:
+        from transformers import T5EncoderModel  # noqa: PLC0415
+
         model = T5EncoderModel.from_pretrained(handle)
         model.eval()
-        _MODELS[name] = (tok, model)
+        _MODELS[name] = ("torch", tok, model)
         return _MODELS[name]
     except Exception:
         return None
@@ -133,9 +153,20 @@ def t5_encode_text(
             )
         return _fallback_encode(text, name, max_length)
 
+    kind, tokenizer, model = loaded
+
+    if kind == "flax":
+        tokenized = tokenizer.batch_encode_plus(
+            text, padding="longest", max_length=max_length, truncation=True, return_tensors="np"
+        )
+        out = model(input_ids=tokenized.input_ids, attention_mask=tokenized.attention_mask)
+        mask = tokenized.attention_mask.astype(bool)
+        enc = np.asarray(out.last_hidden_state, dtype=np.float32)
+        enc = enc * mask[..., None]  # zero masked positions (reference t5.py:82)
+        return enc, mask
+
     import torch  # noqa: PLC0415  (host-side pre-encoding only)
 
-    tokenizer, model = loaded
     tokenized = tokenizer.batch_encode_plus(
         text, padding="longest", max_length=max_length, truncation=True, return_tensors="pt"
     )
