@@ -228,3 +228,31 @@ def test_sample_ddim_fast_path(cascade):
     imgs2 = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
                            sampler="ddim", sample_steps=8, key=jax.random.PRNGKey(2))
     np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs2))
+
+
+def test_three_stage_cascade_and_per_stage_timesteps():
+    """3-stage 8->16->32 cascade with per-stage T (tuple timesteps,
+    reference Imagen.py:157-178) trains and samples end-to-end."""
+    imagen = Imagen(
+        unets=[BaseTest(), SuperTest(), SuperTest()],
+        image_sizes=(8, 16, 32),
+        timesteps=(25, 20, 20),
+        cond_drop_prob=0.15,
+        text_encoder_name="t5_small",
+    )
+    assert [s.num_timesteps for s in imagen.noise_schedulers] == [25, 20, 20]
+    assert [c.lowres_cond for c in imagen.unet_configs] == [False, True, True]
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=1, text_len=4)
+
+    images = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    embeds = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 512))
+    mask = jnp.ones((1, 4), bool)
+    for n in (1, 2, 3):
+        loss = float(imagen.forward(images, text_embeds=embeds, text_masks=mask,
+                                    unet_number=n, key=jax.random.PRNGKey(n)))
+        assert np.isfinite(loss)
+
+    out = imagen.sample(text_embeds=embeds, text_masks=mask, sampler="ddim",
+                        sample_steps=5, key=jax.random.PRNGKey(3),
+                        return_all_stage_outputs=True)
+    assert [o.shape for o in out] == [(1, 8, 8, 3), (1, 16, 16, 3), (1, 32, 32, 3)]
