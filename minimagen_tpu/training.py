@@ -376,7 +376,24 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
         running_train_loss = np.zeros(num_unets)
         print(f'\n{"-" * 10}Training...{"-" * 10}')
 
-        for batch_num, batch in enumerate(train_dataloader):
+        batch_iter = iter(train_dataloader)
+        batch_num = -1
+        while True:
+            # loader failures get the same crash-dump treatment as batch
+            # failures (the reference's dataset failures surface as Nones;
+            # a hard raise here would otherwise escape the handler)
+            try:
+                batch = next(batch_iter)
+            except StopIteration:
+                break
+            except Exception as e:
+                with training_dir():
+                    with open("training_progess.txt", "a") as f:
+                        f.write(f"\n\nDATA LOADER FAILED AT EPOCH {epoch} with exception {e}. "
+                                f"MOST RECENT STATE DICTS SAVED TO ./tmp IN TRAINING FOLDER\n")
+                _dump_tmp(state.params, full_state=state)
+                break
+            batch_num += 1
             try:
                 if not batch:
                     continue  # fully-failed batch: skip (reference training.py:452-453)

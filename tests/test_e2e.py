@@ -92,3 +92,42 @@ def test_tiny_train_checkpoint_reload_sample(tmp_path, monkeypatch):
     # output dir collision raises (reference generate.py:22-23)
     with pytest.raises(FileExistsError):
         sample_and_save(["x"], training_directory=run_dir, save_directory="gen_out")
+
+
+@pytest.mark.slow
+def test_training_survives_loader_failure(tmp_path, monkeypatch):
+    """A hard loader failure mid-epoch gets a crash dump and training
+    proceeds to the next epoch (failure-detection subsystem, SURVEY §5)."""
+    monkeypatch.chdir(tmp_path)
+    args = load_testing_parameters(get_minimagen_parser().parse_args([]))
+    args.IMG_SIDE_LEN = 16
+    args.EPOCHS = 2
+    args.CHCKPT_NUM = 100  # only batch-0 checkpoints
+    args.MAX_NUM_WORDS = 8
+
+    class ExplodingDataset(SyntheticCaptionedImages):
+        def __getitem__(self, idx):
+            if idx == 5:
+                raise RuntimeError("synthetic loader explosion")
+            return super().__getitem__(idx)
+
+    ds = ExplodingDataset(num_items=8, side_length=16, encoder_name="t5_small", max_length=8)
+    collate = MinimagenCollator(max_length=8)
+    train_dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True,
+                          collate_fn=collate, prefetch=0)
+    good = SyntheticCaptionedImages(num_items=4, side_length=16,
+                                    encoder_name="t5_small", max_length=8)
+    valid_dl = DataLoader(good, batch_size=2, shuffle=False, drop_last=True, collate_fn=collate)
+
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(16,), timesteps=25,
+                    cond_drop_prob=0.15, text_encoder_name="t5_small")
+    imagen.init_params(jax.random.PRNGKey(0))
+    training_dir = create_directory(str(tmp_path / "training_x"))
+
+    summary = MinimagenTrain("x", args, imagen.unet_configs, imagen, train_dl,
+                             valid_dl, training_dir, make_optimizer(1e-4))
+    log = (tmp_path / "training_x" / "training_progess.txt").read_text()
+    assert "DATA LOADER FAILED" in log
+    assert "EPOCH 2" in log  # second epoch still ran
+    assert os.path.exists(tmp_path / "training_x" / "tmp" / "unet_0_tmp.ckpt")
+    assert summary["final_step"] > 0
