@@ -1,2 +1,3 @@
 from . import dataset
 from . import collate
+from . import cache

@@ -1,2 +1,3 @@
 from . import mesh
 from . import cascade
+from . import multihost

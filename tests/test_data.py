@@ -97,3 +97,29 @@ def test_default_dl_opts_match_reference():
     opts = get_minimagen_dl_opts(None)
     assert opts["batch_size"] == 4 and opts["shuffle"] and opts["drop_last"]
     assert isinstance(opts["collate_fn"], MinimagenCollator)
+
+
+def test_dataset_cache_roundtrip(tmp_path):
+    """build_cache materializes items; CachedCaptionedImages serves them back
+    identically, skipping failed items."""
+    from minimagen_tpu.data.cache import CachedCaptionedImages, build_cache
+
+    ds = _synth(n=10, failure_rate=0.3)
+    manifest = build_cache(ds, str(tmp_path / "cache"), shard_size=4)
+    good = [ds[i] for i in range(10) if ds[i] is not None]
+    assert manifest["num_items"] == len(good)
+
+    cached = CachedCaptionedImages(str(tmp_path / "cache"))
+    assert len(cached) == len(good)
+    for i in range(len(cached)):
+        item = cached[i]
+        np.testing.assert_allclose(item["image"], good[i]["image"], atol=1e-6)
+        n = int(np.asarray(good[i]["mask"]).reshape(-1).sum())
+        np.testing.assert_allclose(item["encoding"][:n], good[i]["encoding"][:n], atol=1e-6)
+
+    # cached dataset feeds the standard loader/collator stack
+    from minimagen_tpu.data.collate import DataLoader, MinimagenCollator
+    dl = DataLoader(cached, batch_size=2, shuffle=True, drop_last=True,
+                    collate_fn=MinimagenCollator(max_length=32))
+    batch = next(iter(dl))
+    assert batch["image"].shape[0] == 2

@@ -177,3 +177,22 @@ def test_cascade_stage_parallel_training():
         assert np.all(np.isfinite(losses))
     p = trainer.params
     assert set(p) == {"unet_0", "unet_1"}
+
+
+def test_multihost_helpers_single_process():
+    """Single-process degeneration of the multi-host helpers: global mesh ==
+    plain mesh; global_batch_from_local == shard_batch."""
+    from minimagen_tpu.parallel.multihost import (
+        global_batch_from_local,
+        initialize_distributed,
+        make_global_mesh,
+    )
+
+    assert initialize_distributed() is False  # no coordinator env here
+    mesh = make_global_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    batch = _batch()
+    g = global_batch_from_local(batch, mesh)
+    assert g["image"].shape == batch["image"].shape
+    assert g["image"].sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(g["image"]), batch["image"])
