@@ -457,3 +457,57 @@ def convert_reference_training_dir(directory: str):
         params[f"unet_{i}"] = convert_unet_state_dict(sd, imagen.unet_configs[i])
     imagen.params = params
     return imagen
+
+
+def _main():
+    """Checkpoint conversion CLI.
+
+    import: convert a PyTorch reference training directory into a
+    minimagen_tpu training directory (configs copied, .pth -> .ckpt).
+    export: convert a minimagen_tpu training directory's tmp/ weights into
+    reference-layout .pth files.
+    """
+    import argparse
+    import shutil
+
+    parser = argparse.ArgumentParser(description=_main.__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    imp = sub.add_parser("import", help="reference .pth training dir -> minimagen_tpu dir")
+    imp.add_argument("src")
+    imp.add_argument("dst")
+    exp = sub.add_parser("export", help="minimagen_tpu training dir -> reference .pth files")
+    exp.add_argument("src")
+    exp.add_argument("dst")
+    args = parser.parse_args()
+
+    import os
+
+    if args.cmd == "import":
+        from ..training import CKPT_EXT, create_directory, save_unet_checkpoint  # noqa: PLC0415
+
+        imagen = convert_reference_training_dir(args.src)
+        create_directory(args.dst)
+        shutil.copytree(os.path.join(args.src, "parameters"),
+                        os.path.join(args.dst, "parameters"), dirs_exist_ok=True)
+        for i in range(imagen.num_unets):
+            save_unet_checkpoint(
+                os.path.join(args.dst, "state_dicts", f"unet_{i}_state_imported.{CKPT_EXT}"),
+                imagen.params[f"unet_{i}"],
+            )
+        print(f"imported {imagen.num_unets} unets from {args.src} -> {args.dst}")
+    else:
+        import torch  # noqa: PLC0415
+
+        from ..generate import load_minimagen  # noqa: PLC0415
+
+        imagen = load_minimagen(args.src)
+        os.makedirs(args.dst, exist_ok=True)
+        for i in range(imagen.num_unets):
+            sd = export_unet_state_dict(imagen.params[f"unet_{i}"], imagen.unet_configs[i])
+            torch.save({k: torch.tensor(v) for k, v in sd.items()},
+                       os.path.join(args.dst, f"unet_{i}_state_exported.pth"))
+        print(f"exported {imagen.num_unets} unets from {args.src} -> {args.dst}")
+
+
+if __name__ == "__main__":
+    _main()
