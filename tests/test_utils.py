@@ -1,0 +1,102 @@
+"""Utility-layer tests: profiling timer, platform helper, t5 fallback
+determinism, misc edge cases."""
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from minimagen_tpu.models.t5 import _fallback_encode, get_encoded_dim, T5_VERSIONS
+from minimagen_tpu.utils.profiling import StepTimer
+
+
+def test_step_timer_summary():
+    t = StepTimer()
+    for _ in range(3):
+        with t.step():
+            time.sleep(0.01)
+    s = t.summary(skip_first=1)
+    assert s["steps"] == 2
+    assert s["mean_s"] >= 0.01
+    assert s["steps_per_sec"] > 0
+    assert t.count == 3
+
+
+def test_step_timer_empty():
+    assert StepTimer().summary()["steps"] == 0
+
+
+def test_t5_registry_matches_reference_surface():
+    """10 variants with the reference dims (t5.py:10-21)."""
+    assert len(T5_VERSIONS) == 10
+    assert get_encoded_dim("t5_small") == 512
+    assert get_encoded_dim("t5_base") == 768
+    assert get_encoded_dim("t5_11b") == 1024
+    assert get_encoded_dim("xxl1.1") == 4096
+
+
+def test_fallback_encoder_deterministic_across_processes():
+    """The hash encoder must be stable across processes (training relies on a
+    frozen encoder)."""
+    enc, mask = _fallback_encode(["a red square"], "t5_small", 32)
+    code = (
+        "from minimagen_tpu.models.t5 import _fallback_encode;"
+        "import numpy as np;"
+        "e,m=_fallback_encode(['a red square'],'t5_small',32);"
+        "print(float(e.sum()), int(m.sum()))"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True, cwd=os.path.dirname(os.path.dirname(__file__)))
+    other_sum, other_mask = out.stdout.split()
+    np.testing.assert_allclose(float(enc.sum()), float(other_sum), rtol=1e-6)
+    assert int(mask.sum()) == int(other_mask)
+
+
+def test_fallback_encoder_zero_masks_and_word_order():
+    enc, mask = _fallback_encode(["red square", "square red"], "t5_small", 32)
+    assert mask.shape == enc.shape[:2]
+    # positional mixing: same words, different order -> different encodings
+    assert not np.allclose(enc[0], enc[1])
+
+
+def test_unet_config_hashable_and_static():
+    """Configs must be hashable (jit static / linen module field)."""
+    from minimagen_tpu.models.unet import BaseTest, UnetConfig
+
+    a = BaseTest()
+    b = BaseTest()
+    assert hash(a) == hash(b)
+    assert a == b
+    d = {a: 1}
+    assert d[b] == 1
+    assert hash(UnetConfig(dim=16)) != hash(UnetConfig(dim=32))
+
+
+def test_load_params_sorting_with_many_unets(tmp_path):
+    """unet_10 must sort after unet_2 (int sort, reference generate.py:61-62)."""
+    import json
+
+    from minimagen_tpu.generate import load_params
+
+    pdir = tmp_path / "parameters"
+    pdir.mkdir()
+    for i in [0, 1, 2, 10]:
+        (pdir / f"unet_{i}_params_ts.json").write_text(json.dumps({"dim": 8 + i}))
+    (pdir / "imagen_params_ts.json").write_text(json.dumps({"image_sizes": [8]}))
+    unets, im = load_params(str(tmp_path))
+    assert [u["dim"] for u in unets] == [8, 9, 10, 18]
+
+
+def test_native_disabled_env(monkeypatch):
+    """MINIMAGEN_TPU_DISABLE_NATIVE forces the PIL fallback path."""
+    import importlib
+
+    from minimagen_tpu.data import native
+
+    monkeypatch.setenv("MINIMAGEN_TPU_DISABLE_NATIVE", "1")
+    importlib.reload(native)
+    assert native.available() is False
+    monkeypatch.delenv("MINIMAGEN_TPU_DISABLE_NATIVE")
+    importlib.reload(native)
