@@ -25,9 +25,14 @@ Public surface mirrors the reference package (`minimagen/__init__.py:1-4`).
 
 from . import ops
 from . import models
-from .models import imagen as Imagen  # module alias, parity with reference export style
-from .models import unet as Unet
-from .models import t5
-from .ops import diffusion as diffusion_model
+
+# reference-path import shims (reference `minimagen/__init__.py:1-4` exports
+# the Imagen / t5 / Unet / diffusion_model modules; here
+# `from minimagen_tpu.Unet import Unet, Base` etc. work exactly like the
+# reference's `from minimagen.Unet import ...`)
+from . import Imagen
+from . import Unet
+from . import t5
+from . import diffusion_model
 
 __version__ = "0.1.0"

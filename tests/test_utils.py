@@ -100,3 +100,29 @@ def test_native_disabled_env(monkeypatch):
     assert native.available() is False
     monkeypatch.delenv("MINIMAGEN_TPU_DISABLE_NATIVE")
     importlib.reload(native)
+
+
+def test_reference_import_paths():
+    """Drop-in import parity: every `from minimagen.X import Y` in the
+    reference's own CLIs resolves as `from minimagen_tpu.X import Y`
+    (reference train.py:8-14, inference.py:2, generate.py imports)."""
+    from minimagen_tpu.Imagen import Imagen  # noqa: F401
+    from minimagen_tpu.Unet import Unet, Base, Super, BaseTest, SuperTest  # noqa: F401
+    from minimagen_tpu.t5 import t5_encode_text, get_encoded_dim  # noqa: F401
+    from minimagen_tpu.diffusion_model import GaussianDiffusion  # noqa: F401
+    from minimagen_tpu.helpers import exists, default  # noqa: F401
+    from minimagen_tpu.layers import Attention, ResnetBlock  # noqa: F401
+    from minimagen_tpu.generate import load_minimagen, load_params, sample_and_save  # noqa: F401
+    from minimagen_tpu.training import (  # noqa: F401
+        ConceptualCaptions,
+        MinimagenTrain,
+        create_directory,
+        get_default_args,
+        get_minimagen_dl_opts,
+        get_minimagen_parser,
+        get_model_params,
+        get_model_size,
+        load_restart_training_parameters,
+        load_testing_parameters,
+        save_training_info,
+    )
