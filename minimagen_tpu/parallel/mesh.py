@@ -63,6 +63,47 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
+def device_prefetch(iterator, mesh: Optional[Mesh] = None, size: int = 2):
+    """Overlap host->device transfer with compute: keep `size` batches
+    already device_put (sharded over the mesh when given) ahead of the
+    consumer.  `jax.device_put` is async, so enqueueing the next transfers
+    while the current step runs hides HBM ingest latency.  None batches
+    (fully-failed collations) pass through untouched.
+    """
+    import collections  # noqa: PLC0415
+
+    put = (lambda b: shard_batch(b, mesh)) if mesh is not None else (
+        lambda b: {k: jax.device_put(v) for k, v in b.items()}
+    )
+    queue = collections.deque()
+    it = iter(iterator)
+    exhausted = False
+    error = None
+
+    def pull():
+        nonlocal exhausted, error
+        if exhausted or error is not None:
+            return
+        try:
+            b = next(it)
+            queue.append(put(b) if b else b)
+        except StopIteration:
+            exhausted = True
+        except Exception as e:  # defer: drain queued batches first
+            error = e
+
+    while len(queue) < size:
+        pull()
+        if exhausted or error is not None:
+            break
+    while queue:
+        out = queue.popleft()
+        pull()
+        yield out
+    if error is not None:
+        raise error
+
+
 # --------------------------------------------------------------------------- #
 # tensor-parallel param sharding rules                                        #
 # --------------------------------------------------------------------------- #

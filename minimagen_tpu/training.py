@@ -57,6 +57,7 @@ from .models.unet import UnetConfig
 from .utils.profiling import StepTimer
 from .parallel.mesh import (
     create_train_state,
+    device_prefetch,
     make_eval_step,
     make_optimizer,
     make_train_step,
@@ -376,7 +377,9 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
         running_train_loss = np.zeros(num_unets)
         print(f'\n{"-" * 10}Training...{"-" * 10}')
 
-        batch_iter = iter(train_dataloader)
+        # device-prefetch: the next batches transfer to device while the
+        # current step computes (async device_put)
+        batch_iter = device_prefetch(train_dataloader, mesh=mesh, size=2)
         batch_num = -1
         while True:
             # loader failures get the same crash-dump treatment as batch
@@ -397,8 +400,6 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
             try:
                 if not batch:
                     continue  # fully-failed batch: skip (reference training.py:452-453)
-                if mesh is not None:
-                    batch = shard_batch(batch, mesh)
 
                 with timer.step():
                     state, losses = train_step(state, batch, epoch_key)

@@ -196,3 +196,19 @@ def test_multihost_helpers_single_process():
     assert g["image"].shape == batch["image"].shape
     assert g["image"].sharding.spec == P("data")
     np.testing.assert_allclose(np.asarray(g["image"]), batch["image"])
+
+
+def test_device_prefetch_preserves_order_and_handles_nones():
+    from minimagen_tpu.parallel.mesh import device_prefetch
+
+    mesh = make_mesh()
+    batches = [_batch(b=8) if i != 2 else None for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh=mesh, size=2))
+    assert len(out) == 5
+    assert out[2] is None
+    for i in (0, 1, 3, 4):
+        assert out[i]["image"].sharding.spec == P("data")
+        np.testing.assert_allclose(np.asarray(out[i]["image"]), batches[i]["image"])
+    # shorter-than-buffer iterators drain fully
+    assert len(list(device_prefetch(iter(batches[:1]), mesh=mesh, size=4))) == 1
+    assert list(device_prefetch(iter([]), mesh=mesh)) == []
