@@ -43,6 +43,10 @@ def main():
                         help="Timestamp for training directory", type=str, default=None)
     parser.add_argument("--MESH", dest="MESH", choices=["none", "data"], default="none",
                         help="Data-parallel over all visible devices ('data') or single device")
+    parser.add_argument("--BF16", dest="BF16", action="store_true",
+                        help="bfloat16 compute (f32 params/norms/softmax)")
+    parser.add_argument("--REMAT", dest="REMAT", action="store_true",
+                        help="Rematerialize U-Net blocks (activation memory for ~30% recompute)")
     args = parser.parse_args()
     timestamp = args.timestamp or datetime.now().strftime("%Y%m%d_%H%M%S")
 
@@ -83,7 +87,9 @@ def main():
             imagen_params = {k: v for k, v in imagen_params.items() if k != "unets"}
 
         unets = [Unet.from_dict(p) for p in unets_params]
-        imagen = Imagen(unets=unets, **imagen_params)
+        import jax.numpy as jnp
+        extra = dict(dtype=jnp.bfloat16 if args.BF16 else jnp.float32, remat=args.REMAT)
+        imagen = Imagen(unets=unets, **imagen_params, **extra)
         imagen.init_params(jax.random.PRNGKey(0))
     else:
         orig_train_dir = os.path.join(os.getcwd(), args.RESTART_DIRECTORY)
