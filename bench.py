@@ -63,15 +63,16 @@ def main():
         return mean + jnp.exp(0.5 * log_var) * noise
 
     t = jnp.full((batch,), 500, jnp.int32)
-    # warmup / compile
+    # warmup / compile; sync via host readback (block_until_ready does not
+    # reliably wait for device compute through the remote tunnel)
     x1 = denoise_step(params, x, t, jax.random.PRNGKey(1))
-    x1.block_until_ready()
+    np.asarray(x1)
 
     start = time.perf_counter()
     xi = x
     for i in range(steps):
         xi = denoise_step(params, xi, t, jax.random.PRNGKey(i))
-    xi.block_until_ready()
+    np.asarray(xi)  # chained steps: readback forces all to complete
     elapsed = time.perf_counter() - start
 
     TORCH_CPU_BASELINE = 0.15  # measured reference rate on this host (see module docstring)

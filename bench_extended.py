@@ -41,14 +41,14 @@ def bench_cascade():
 
     t0 = time.perf_counter()
     out = run(jax.random.PRNGKey(0))
-    out.block_until_ready()
+    np.asarray(out)  # host readback: true sync through the remote tunnel
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
         out = run(jax.random.PRNGKey(i + 1))
-    out.block_until_ready()
+        np.asarray(out)
     per_image = (time.perf_counter() - t0) / reps / b
     print(json.dumps({
         "metric": "cascade_64_to_256_ddim50_guided_sec_per_image",
@@ -84,14 +84,14 @@ def bench_train():
 
     t0 = time.perf_counter()
     state, losses = step(state, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(losses)
+    np.asarray(losses)  # host readback: true sync through the remote tunnel
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     reps = 10
     for i in range(reps):
         state, losses = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(losses)
+    np.asarray(losses)  # state is chained through all reps
     sps = reps / (time.perf_counter() - t0)
     print(json.dumps({
         "metric": "flagship_base64_train_steps_per_sec_per_chip",
