@@ -27,8 +27,7 @@ from __future__ import annotations
 
 import io
 import urllib.request
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -29,7 +29,7 @@ import jax
 
 from .models.imagen import Imagen
 from .models.unet import UnetConfig
-from .training import CKPT_EXT, load_unet_checkpoint
+from .training import load_unet_checkpoint
 
 
 def _create_directory(dir_path: str):

@@ -31,8 +31,7 @@ augmentation noise is effectively doubled. We reproduce both orders exactly.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ from __future__ import annotations
 import hashlib
 import os
 import warnings
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,6 @@ place so it can dispatch to the Pallas flash-attention kernel on TPU
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -19,7 +19,6 @@ are replaced by learned null embeddings, reference Unet.py:598-606).
 """
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

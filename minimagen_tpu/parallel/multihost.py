@@ -14,7 +14,7 @@ coordinator env vars are present.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

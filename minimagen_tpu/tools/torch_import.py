@@ -23,7 +23,6 @@ from typing import Any, Dict
 import numpy as np
 
 from ..models.unet import UnetConfig
-from ..ops.helpers import cast_tuple
 
 
 def _np(t) -> np.ndarray:

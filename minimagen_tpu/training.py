@@ -48,7 +48,6 @@ from contextlib import contextmanager
 from typing import Any, Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
