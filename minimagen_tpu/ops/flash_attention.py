@@ -132,9 +132,103 @@ def _mqa_fwd(q, k, v):
     return _mqa_forward(q, k, v), (q, k, v)
 
 
+# --------------------------------------------------------------------------- #
+# fused MQA backward: two kernels, logits/probabilities never reach HBM       #
+# (the plain-XLA backward materializes p (b,h,n,j) — 4+ GB at 4096 tokens).   #
+# dk/dv accumulate across (head, q-block) grid steps into the same output     #
+# block — TPU pallas grids run sequentially per core, so revisiting an output #
+# block accumulates in VMEM and flushes when the batch index advances.        #
+# --------------------------------------------------------------------------- #
+def _mqa_bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref):
+    q = q_ref[0, 0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _mqa_bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, dk_ref, dv_ref):
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(h == 0, i == 0))
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0, 0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    # dk += ds^T @ q ; dv += p^T @ g   (accumulate over heads and q-blocks)
+    dk_ref[0] += jax.lax.dot_general(ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dv_ref[0] += jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _mqa_bwd_pallas(q, k, v, g):
+    b, h, n, d = q.shape
+    j = k.shape[1]
+    bq = _pick_block_q(n)
+
+    dq = pl.pallas_call(
+        _mqa_bwd_dq_kernel,
+        grid=(b * h, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bh, i: (bh // h, bh % h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda bh, i: (bh // h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda bh, i: (bh // h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda bh, i: (bh // h, bh % h, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bh, i: (bh // h, bh % h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v, g)
+
+    dk, dv = pl.pallas_call(
+        _mqa_bwd_dkv_kernel,
+        grid=(b, h, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, i: (bb, hh, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda bb, hh, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda bb, hh, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, i: (bb, hh, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, j, d), lambda bb, hh, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, d), lambda bb, hh, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, j, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, j, d), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, g)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _mqa_bwd(res, g):
-    """Standard attention backward, recomputed with XLA einsums (f32)."""
+    """Fused Pallas backward when available; XLA-recompute fallback."""
     q, k, v = res
+    if pallas_enabled() and _pick_block_q(q.shape[2]) > 0:
+        return _mqa_bwd_pallas(q, k, v, g)
     s = jnp.einsum("bhnd,bjd->bhnj", q, k, preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
     g32 = g.astype(jnp.float32)

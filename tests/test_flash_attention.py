@@ -85,3 +85,26 @@ def test_dispatch_uses_pallas_when_enabled():
     mask = jnp.ones((b, j), bool)
     out_m = attn_ops.multi_query_attention(q, k, v, mask=mask)
     np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref), atol=2e-4, rtol=2e-3)
+
+
+def test_mqa_pallas_backward_multiblock_accumulation():
+    """dk/dv accumulate across (head, q-block) grid revisits: exercise
+    multiple q-blocks (n=512 -> 2 blocks of 256) and multiple heads."""
+    b, h, n, j, d = 1, 3, 512, 33, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d)) * d**-0.5
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, j, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, j, d))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(mqa_flash(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_mqa(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, gf, gr in zip("qkv", g_flash, g_ref):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        scale = max(1e-6, float(np.abs(gr).max()))
+        np.testing.assert_allclose(gf / scale, gr / scale, atol=5e-4,
+                                   err_msg=f"d{name} mismatch")
