@@ -13,6 +13,9 @@ from minimagen_tpu.ops.flash_attention import mha_flash, mqa_flash
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
     monkeypatch.setenv("MINIMAGEN_TPU_PALLAS_INTERPRET", "1")
+    # force the fused backward path in tests (default dispatch only uses it
+    # above a memory threshold)
+    monkeypatch.setenv("MINIMAGEN_TPU_FUSED_BWD_THRESHOLD", "0")
     yield
 
 

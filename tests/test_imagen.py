@@ -256,3 +256,40 @@ def test_three_stage_cascade_and_per_stage_timesteps():
                         sample_steps=5, key=jax.random.PRNGKey(3),
                         return_all_stage_outputs=True)
     assert [o.shape for o in out] == [(1, 8, 8, 3), (1, 16, 16, 3), (1, 32, 32, 3)]
+
+
+def test_forward_with_raw_texts_uses_encoder(cascade):
+    """Imagen.forward accepts raw caption strings (reference Imagen.py:618-623)."""
+    images = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    loss = cascade.forward(images, texts=["a happy dog", "a big red house"],
+                           unet_number=1, key=jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    # caption count must match image count (reference assert)
+    with pytest.raises(AssertionError):
+        cascade.forward(images, texts=["just one"], unet_number=1)
+
+
+def test_forward_rejects_wrong_embed_dim(cascade):
+    images, _, mask = _batch()
+    bad = jnp.zeros((2, 6, 128))  # wrong dim (should be 512)
+    with pytest.raises(AssertionError):
+        cascade.forward(images, text_embeds=bad, text_masks=mask, unet_number=1)
+
+
+def test_sample_rejects_wrong_embed_dim(cascade):
+    bad = jnp.zeros((2, 6, 128))
+    with pytest.raises(AssertionError):
+        cascade.sample(text_embeds=bad, text_masks=jnp.ones((2, 6), bool))
+
+
+def test_only_train_unet_number_enforced():
+    imagen = Imagen(unets=[BaseTest(), SuperTest()], image_sizes=(8, 16), timesteps=25,
+                    cond_drop_prob=0.1, text_encoder_name="t5_small",
+                    only_train_unet_number=2)
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=1, text_len=4)
+    images, embeds, mask = _batch(b=1)
+    with pytest.raises(AssertionError):
+        imagen.forward(images, text_embeds=embeds, text_masks=mask, unet_number=1)
+    loss = imagen.forward(images, text_embeds=embeds, text_masks=mask, unet_number=2,
+                          key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
