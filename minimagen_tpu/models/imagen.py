@@ -236,6 +236,25 @@ class Imagen:
         logits, null_logits = out[:b], out[b:]
         return null_logits + (logits - null_logits) * cond_scale
 
+    def forward_with_cond_scale(self, x, time, *, unet_number: int = 1,
+                                cond_scale: float = 1.0,
+                                params: Optional[Dict[str, Any]] = None, **conditioning):
+        """Guided U-Net forward (reference `Unet.forward_with_cond_scale`,
+        Unet.py:474-506) — here ONE pair-batched forward instead of two
+        sequential ones.  `conditioning` takes text_embeds/text_mask/
+        lowres_cond_img/lowres_noise_times."""
+        stage = unet_number - 1
+        unet_params = self._get_params(params)[f"unet_{stage}"]
+        kwargs = dict(
+            text_embeds=conditioning.get("text_embeds"),
+            text_mask=conditioning.get("text_mask"),
+            lowres_cond_img=conditioning.get("lowres_cond_img"),
+            lowres_noise_times=conditioning.get("lowres_noise_times"),
+        )
+        if cond_scale == 1.0:
+            return self._unet_forward(stage, unet_params, x, time, **kwargs)
+        return self._cfg_forward(stage, unet_params, x, time, cond_scale=cond_scale, **kwargs)
+
     # ------------------------------------------------------------------ #
     # sampling                                                            #
     # ------------------------------------------------------------------ #

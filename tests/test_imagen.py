@@ -293,3 +293,32 @@ def test_only_train_unet_number_enforced():
     loss = imagen.forward(images, text_embeds=embeds, text_masks=mask, unet_number=2,
                           key=jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_forward_with_cond_scale_shim(cascade):
+    """API parity with reference Unet.forward_with_cond_scale (Unet.py:474-506):
+    scale 1 == plain forward; guided = null + (cond-null)*scale."""
+    _, embeds, mask = _batch()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    t = jnp.array([3, 7], jnp.int32)
+
+    plain = cascade.forward_with_cond_scale(x, t, unet_number=1, cond_scale=1.0,
+                                            text_embeds=embeds, text_mask=mask)
+    assert plain.shape == x.shape
+
+    guided = cascade.forward_with_cond_scale(x, t, unet_number=1, cond_scale=3.0,
+                                             text_embeds=embeds, text_mask=mask)
+    assert guided.shape == x.shape
+    assert not np.allclose(np.asarray(plain), np.asarray(guided))
+
+    # cond_scale relation: out = null + (cond - null) * s
+    cond = cascade._unet_forward(0, cascade.params["unet_0"], x, t,
+                                 text_embeds=embeds, text_mask=mask,
+                                 lowres_cond_img=None, lowres_noise_times=None,
+                                 text_keep_mask=jnp.array([True, True]))
+    null = cascade._unet_forward(0, cascade.params["unet_0"], x, t,
+                                 text_embeds=embeds, text_mask=mask,
+                                 lowres_cond_img=None, lowres_noise_times=None,
+                                 text_keep_mask=jnp.array([False, False]))
+    expected = np.asarray(null) + (np.asarray(cond) - np.asarray(null)) * 3.0
+    np.testing.assert_allclose(np.asarray(guided), expected, atol=1e-4)
