@@ -296,6 +296,30 @@ def load_train_state(path: str, template):
         return serialization.from_bytes(template, f.read())
 
 
+# ---- Orbax path: sharded/async checkpointing for states that exceed host    #
+# RAM or live sharded on a mesh (msgpack gathers to host; orbax writes        #
+# per-shard files and restores with the target sharding) -------------------- #
+def save_train_state_orbax(directory: str, state) -> None:
+    """Save a TrainState (possibly mesh-sharded) with orbax.StandardCheckpointer."""
+    import orbax.checkpoint as ocp  # noqa: PLC0415
+
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_train_state_orbax(directory: str, template):
+    """Restore a TrainState saved by :func:`save_train_state_orbax`.
+
+    `template` provides structure/dtypes AND target shardings (pass a state
+    whose arrays carry the desired NamedShardings to restore sharded)."""
+    import orbax.checkpoint as ocp  # noqa: PLC0415
+
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)
+
+
 def load_unet_checkpoint(path: str, template) -> Any:
     """Deserialize one unet's param tree using `template` for structure."""
     with open(path, "rb") as f:

@@ -212,3 +212,34 @@ def test_device_prefetch_preserves_order_and_handles_nones():
     # shorter-than-buffer iterators drain fully
     assert len(list(device_prefetch(iter(batches[:1]), mesh=mesh, size=4))) == 1
     assert list(device_prefetch(iter([]), mesh=mesh)) == []
+
+
+def test_orbax_checkpoint_sharded_state(tmp_path):
+    """Orbax round-trip of a mesh-sharded TrainState (params replicated over
+    'data', kernels sharded over 'model')."""
+    from minimagen_tpu.parallel.mesh import infer_param_shardings, place_params
+    from minimagen_tpu.training import load_train_state_orbax, save_train_state_orbax
+
+    imagen = Imagen(
+        unets=[UnetConfig(dim=32, dim_mults=(1, 2), num_resnet_blocks=1,
+                          layer_attns=False, layer_cross_attns=False)],
+        image_sizes=(8,), timesteps=25, cond_drop_prob=0.15, text_encoder_name="t5_small",
+    )
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=1, text_len=4)
+    mesh = make_mesh(model_parallel=2)
+    shardings = infer_param_shardings(imagen.params, mesh, min_shard_dim=32)
+    params = place_params(imagen.params, shardings)
+    opt = make_optimizer(1e-4)
+    state = create_train_state(params, opt)
+
+    path = str(tmp_path / "orbax_ckpt")
+    save_train_state_orbax(path, state)
+
+    template = create_train_state(params, opt)  # carries target shardings
+    restored = load_train_state_orbax(path, template)
+    assert int(restored.step) == int(state.step)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sharding preserved
+    assert b.sharding.spec == a.sharding.spec
