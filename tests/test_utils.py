@@ -126,3 +126,34 @@ def test_reference_import_paths():
         load_testing_parameters,
         save_training_info,
     )
+
+
+def test_load_minimagen_both_empty_raises(tmp_path):
+    """Empty state_dicts AND tmp -> clear error (reference generate.py:109-110)."""
+    import json
+
+    from minimagen_tpu.generate import load_minimagen
+
+    run = tmp_path / "training_empty"
+    for sub in ["parameters", "state_dicts", "tmp"]:
+        (run / sub).mkdir(parents=True)
+    (run / "parameters" / "unet_0_params_ts.json").write_text(json.dumps(
+        {"dim": 8, "dim_mults": [1, 2], "layer_attns": False,
+         "layer_cross_attns": False, "num_resnet_blocks": 1}))
+    (run / "parameters" / "imagen_params_ts.json").write_text(json.dumps(
+        {"image_sizes": [8], "timesteps": 25, "text_encoder_name": "t5_small"}))
+    with pytest.raises(ValueError, match="empty"):
+        load_minimagen(str(run))
+
+
+def test_generate_directory_collision(tmp_path, monkeypatch):
+    """Non-empty generated_images dir raises FileExistsError
+    (reference generate.py:22-23)."""
+    from minimagen_tpu.generate import _create_directory
+
+    monkeypatch.chdir(tmp_path)
+    cm = _create_directory("outdir")
+    with cm("generated_images"):
+        open("existing.png", "w").close()
+    with pytest.raises(FileExistsError):
+        _create_directory("outdir")
