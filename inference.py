@@ -22,6 +22,9 @@ def main():
                         help="ddpm = reference-faithful full-T sampling; ddim = strided fast path")
     parser.add_argument("--SAMPLE_STEPS", dest="SAMPLE_STEPS", type=int, default=None,
                         help="Number of DDIM steps (default min(50, T))")
+    parser.add_argument("--SEED", dest="SEED", type=int, default=None,
+                        help="PRNG seed for reproducible samples (default: fresh "
+                             "entropy per run, like the reference)")
     args = parser.parse_args()
 
     if args.CAPTIONS is None:
@@ -34,9 +37,12 @@ def main():
             lines = f.readlines()
         captions = [line[:-1] if line.endswith("\n") else line for line in lines]
 
-    sample_args = {"cond_scale": 3.0, "sampler": args.SAMPLER}
+    sample_args = {"cond_scale": 3.0, "sampler": args.SAMPLER, "progress": True}
     if args.SAMPLE_STEPS is not None:
         sample_args["sample_steps"] = args.SAMPLE_STEPS
+    if args.SEED is not None:
+        import jax
+        sample_args["key"] = jax.random.PRNGKey(args.SEED)
     sample_and_save(captions, training_directory=args.TRAINING_DIRECTORY,
                     sample_args=sample_args)
 

@@ -31,6 +31,7 @@ augmentation noise is effectively doubled. We reproduce both orders exactly.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax
@@ -153,6 +154,7 @@ class Imagen:
         self.params: Optional[Dict[str, Any]] = None
 
         self._jit_cache: Dict[Any, Any] = {}
+        self._progress_bar = None  # installed per stage by sample(progress=True)
 
     # ------------------------------------------------------------------ #
     # params                                                              #
@@ -300,7 +302,7 @@ class Imagen:
         return scheduler.q_posterior(x_start=x_start, x_t=x, t=t)
 
     def _build_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
-                            sample_steps: Optional[int] = None):
+                            sample_steps: Optional[int] = None, progress: bool = False):
         """A jittable full reverse-diffusion pass for one cascade stage.
 
         Returns fn(params, key, shape-bearing args...) -> [0,1] images.
@@ -314,6 +316,17 @@ class Imagen:
         scheduler = self.noise_schedulers[stage]
         has_lowres = self.unet_configs[stage].lowres_cond
         assert sampler in ("ddpm", "ddim"), f"unknown sampler {sampler!r}"
+
+        def _tick(_):
+            # per-timestep progress (reference tqdm on the sampling loop,
+            # Imagen.py:404) — the bar is installed by sample() at call time
+            bar = self._progress_bar
+            if bar is not None:
+                bar.update(1)
+
+        def maybe_tick(t_scalar):
+            if progress:
+                jax.debug.callback(_tick, t_scalar, ordered=False)
 
         def sample_fn(unet_params, key, text_embeds, text_mask, cond_scale,
                       lowres_cond_img=None, lowres_noise_times=None, init_noise=None):
@@ -330,6 +343,7 @@ class Imagen:
 
             def ddpm_step(carry, t_scalar):
                 img, key = carry
+                maybe_tick(t_scalar)
                 key, noise_key = jax.random.split(key)
                 t = jnp.full((b,), t_scalar, jnp.int32)
                 mean, _, log_var = self._p_mean_variance(
@@ -345,6 +359,7 @@ class Imagen:
 
             def ddim_step(carry, t_pair):
                 img, key = carry
+                maybe_tick(t_pair[0])
                 t = jnp.full((b,), t_pair[0], jnp.int32)
                 t_prev = jnp.full((b,), t_pair[1], jnp.int32)
                 x0 = self._predict_x_start(
@@ -370,11 +385,11 @@ class Imagen:
         return sample_fn
 
     def _jitted_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
-                             sample_steps: Optional[int] = None):
-        cache_key = ("sample", stage, guided, sampler, sample_steps)
+                             sample_steps: Optional[int] = None, progress: bool = False):
+        cache_key = ("sample", stage, guided, sampler, sample_steps, progress)
         if cache_key not in self._jit_cache:
             self._jit_cache[cache_key] = jax.jit(
-                self._build_sample_stage(stage, guided, sampler, sample_steps)
+                self._build_sample_stage(stage, guided, sampler, sample_steps, progress)
             )
         return self._jit_cache[cache_key]
 
@@ -393,6 +408,7 @@ class Imagen:
         data_format: str = "NHWC",
         sampler: str = "ddpm",
         sample_steps: Optional[int] = None,
+        progress: bool = False,
         device=None,
     ):
         """Generate images for captions (reference Imagen.py:422-510).
@@ -402,8 +418,12 @@ class Imagen:
             super-res conditioning (defaults to the constructor value, 0.2).
         :param params: explicit param pytree ({'unet_0': ...}); defaults to
             the attached `self.params`.
-        :param key: PRNG key (defaults to a fixed seed — pass your own for
-            varied samples).
+        :param key: PRNG key. Defaults to FRESH entropy per call (matching the
+            reference's fresh `randn` every run, Imagen.py:381) — pass an
+            explicit key for reproducible samples.
+        :param progress: show a per-timestep progress bar (reference tqdm,
+            Imagen.py:404), emitted from inside the compiled scan via
+            `jax.debug.callback`.
         :param data_format: 'NHWC' (native) or 'NCHW' (reference layout) for
             the returned array.
         :param sampler: 'ddpm' (reference-faithful, all T steps) or 'ddim'
@@ -416,7 +436,10 @@ class Imagen:
             images if `return_pil_images`.
         """
         params = self._get_params(params)
-        key = default(key, lambda: jax.random.PRNGKey(0))
+        # fresh entropy when no key is given — every CLI run differs, like the
+        # reference's fresh torch randn per run (Imagen.py:381)
+        key = default(key, lambda: jax.random.PRNGKey(
+            int.from_bytes(os.urandom(4), "little")))
 
         if exists(texts) and not exists(text_embeds):
             text_embeds, text_masks = t5_encode_text(texts, name=self.text_encoder_name)
@@ -453,11 +476,23 @@ class Imagen:
                     noise=jax.random.normal(aug_key, lowres_cond_img.shape, lowres_cond_img.dtype),
                 )
 
-            sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps)
+            sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps, progress)
+            if progress:
+                from ..utils.progress import ProgressBar  # noqa: PLC0415
+                T = self.noise_schedulers[stage].num_timesteps
+                steps = T if sampler == "ddpm" else len(
+                    self.noise_schedulers[stage].strided_sampling_timesteps(
+                        default(sample_steps, min(50, T))))
+                self._progress_bar = ProgressBar(
+                    total=steps, desc=f"sampling stage {stage + 1}/{self.num_unets}")
             img = sample_fn(
                 params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
                 jnp.float32(cond_scale), lowres_cond_img, lowres_noise_times,
             )
+            if progress and self._progress_bar is not None:
+                jax.block_until_ready(img)
+                self._progress_bar.close()
+                self._progress_bar = None
             if return_all_stage_outputs:
                 outputs.append(img)
 

@@ -140,6 +140,14 @@ def create_gaussian_diffusion(timesteps: int) -> GaussianDiffusion:
     Mirrors the reference constructor's numerics exactly
     (diffusion_model.py:13-66), including the 1e-20 clip on the posterior
     variance before the log.
+
+    Documented deviation (T=20 edge): at exactly T=20 the schedule's
+    beta_end = (1000/20)*0.02 = 1.0, so alpha_T = 0 and abar_T = 0 — the
+    reference (whose assert is `timesteps >= 20`, diffusion_model.py:23-24)
+    silently builds inf `sqrt_recip*` buffers and a -inf log buffer, which
+    turn the t=T-1 x0-prediction into NaN at sample time.  Here abar is
+    floored at 1e-20 for the reciprocal/log-derived buffers only, so T=20
+    stays finite and usable; every T > 20 is bit-identical to the reference.
     """
     assert not timesteps < 20, "timesteps must be at least 20"
 
@@ -154,6 +162,10 @@ def create_gaussian_diffusion(timesteps: int) -> GaussianDiffusion:
 
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
 
+    # floor abar away from 0 for reciprocal/log buffers: identical for T > 20,
+    # finite (instead of the reference's inf/NaN) at the T=20 edge
+    ac_safe = np.clip(alphas_cumprod, 1e-20, None)
+
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
 
     return GaussianDiffusion(
@@ -163,9 +175,9 @@ def create_gaussian_diffusion(timesteps: int) -> GaussianDiffusion:
         alphas_cumprod_prev=f32(alphas_cumprod_prev),
         sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
         sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
-        log_one_minus_alphas_cumprod=f32(np.log(1.0 - alphas_cumprod)),
-        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
-        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+        log_one_minus_alphas_cumprod=f32(np.log(np.clip(1.0 - alphas_cumprod, 1e-20, None))),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / ac_safe)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / ac_safe - 1.0)),
         posterior_variance=f32(posterior_variance),
         posterior_log_variance_clipped=f32(np.log(np.clip(posterior_variance, 1e-20, None))),
         posterior_mean_coef1=f32(betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod)),

@@ -28,10 +28,12 @@ TPU-first changes (documented deviations):
 - Checkpoints are flax msgpack param trees named `unet_<i>_state_<ts>.ckpt`
   (torch .pth pickles are not meaningful here); the load path accepts both
   the state_dicts/ and tmp/ fallback like the reference (generate.py:91-119).
-- The reference's SIGALRM per-batch watchdog skipped batches whose HTTP
-  fetches hung (training.py:325-341); here fetch timeouts live in the data
-  loader itself (dataset.py fetch_timeout), and the loop-level protection is
-  the same catch-all crash-dump handler.
+- Per-batch hang protection is two-layer: fetch timeouts in the data loader
+  (dataset.py fetch_timeout) AND a loop-level SIGALRM watchdog equivalent to
+  the reference's `_Timeout` (training.py:325-341) that skips a batch hung
+  anywhere in the batch path. The first batch of a run is exempt (it includes
+  XLA compilation, which legitimately takes minutes cold); platforms without
+  SIGALRM fall back to no watchdog like the reference's AttributeError path.
 - The progress log's running-average loss divides by max(batch_num, 1)
   (the reference divides by 0 on the first checkpoint, training.py:392 —
   a deliberate fix).
@@ -54,6 +56,14 @@ from flax import serialization
 from .models.imagen import Imagen
 from .models.unet import UnetConfig
 from .utils.profiling import StepTimer
+from .utils.progress import ProgressBar
+
+
+def _maybe_len(loader) -> Optional[int]:
+    try:
+        return len(loader)
+    except TypeError:
+        return None
 from .parallel.mesh import (
     create_train_state,
     device_prefetch,
@@ -329,6 +339,42 @@ def load_unet_checkpoint(path: str, template) -> Any:
 CKPT_EXT = "ckpt"
 
 
+class BatchTimeoutError(Exception):
+    """A training batch exceeded the watchdog timeout (skipped, not fatal)."""
+
+
+class _Timeout:
+    """Per-batch SIGALRM watchdog (reference `_Timeout`, training.py:325-341):
+    raises :class:`BatchTimeoutError` if the wrapped block runs longer than
+    `seconds`. Inactive (no-op) when `seconds` is falsy, off the main thread,
+    or on platforms without SIGALRM (the reference's Windows fallback)."""
+
+    def __init__(self, seconds: Optional[int]):
+        import signal
+        import threading
+
+        self._signal = signal
+        self.seconds = seconds
+        self.active = bool(seconds) and hasattr(signal, "SIGALRM") and (
+            threading.current_thread() is threading.main_thread()
+        )
+
+    def _handler(self, signum, frame):
+        raise BatchTimeoutError(f"batch exceeded {self.seconds}s watchdog")
+
+    def __enter__(self):
+        if self.active:
+            self._prev = self._signal.signal(self._signal.SIGALRM, self._handler)
+            self._signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        if self.active:
+            self._signal.alarm(0)
+            self._signal.signal(self._signal.SIGALRM, self._prev)
+        return False
+
+
 # --------------------------------------------------------------------------- #
 # the training loop (reference MinimagenTrain, training.py:344-478)           #
 # --------------------------------------------------------------------------- #
@@ -341,8 +387,10 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
         the authoritative configs are `imagen.unet_configs`).
     :param optimizer: optax transformation; defaults to clipped Adam at
         args.OPTIM_LR with args.ACCUM_ITER accumulation.
-    :param timeout: retained for reference API parity; batch-level hang
-        protection lives in the dataset fetch timeouts.
+    :param timeout: per-batch watchdog seconds (reference training.py:325-341);
+        a batch hung longer than this anywhere in the batch path is skipped
+        with a progress-log notice. The first batch is exempt (XLA compile).
+        None/0 disables; complements the dataset-level fetch timeouts.
     :param mesh: optional jax.sharding.Mesh for data/tensor parallelism.
     :return: summary dict (final train state is saved to disk).
     """
@@ -376,7 +424,9 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
     def _validate(params, epoch_key):
         running = np.zeros(num_unets)
         n_batches = 0
+        vbar = ProgressBar(total=_maybe_len(valid_dataloader), desc="validation")
         for vbatch in valid_dataloader:
+            vbar.update()
             if not vbatch:
                 continue
             if mesh is not None:
@@ -384,6 +434,7 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
             losses = eval_step(params, vbatch, jax.random.fold_in(epoch_key, n_batches))
             running += np.asarray(losses)
             n_batches += 1
+        vbar.close()
         return running / max(n_batches, 1)
 
     best_loss = np.full(num_unets, 9999999.0)  # init like reference training.py:437
@@ -404,6 +455,7 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
         # current step computes (async device_put)
         batch_iter = device_prefetch(train_dataloader, mesh=mesh, size=2)
         batch_num = -1
+        bar = ProgressBar(total=_maybe_len(train_dataloader), desc=f"epoch {epoch + 1} train")
         while True:
             # loader failures get the same crash-dump treatment as batch
             # failures (the reference's dataset failures surface as Nones;
@@ -420,13 +472,18 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                 _dump_tmp(state.params, full_state=state)
                 break
             batch_num += 1
+            bar.update()
             try:
                 if not batch:
                     continue  # fully-failed batch: skip (reference training.py:452-453)
 
-                with timer.step():
-                    state, losses = train_step(state, batch, epoch_key)
-                    losses_np = np.asarray(losses)  # blocks on device result
+                # SIGALRM watchdog skips hung batches (reference _Timeout,
+                # training.py:325-341); batch 0 is exempt — it includes the
+                # one-time XLA compile
+                with _Timeout(timeout if batch_num > 0 else None):
+                    with timer.step():
+                        state, losses = train_step(state, batch, epoch_key)
+                        losses_np = np.asarray(losses)  # blocks on device result
                 running_train_loss += losses_np
 
                 # periodic checkpoint + validation sweep (reference training.py:379-435)
@@ -468,6 +525,12 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                                     "steps_per_sec": perf["steps_per_sec"]})
             except KeyboardInterrupt:
                 raise
+            except BatchTimeoutError as e:  # hung batch: note it and move on
+                # (reference skips the batch under its SIGALRM, training.py:448-453)
+                with training_dir():
+                    with open("training_progess.txt", "a") as f:
+                        f.write(f"BATCH {batch_num} EPOCH {epoch} SKIPPED: {e}\n")
+                continue
             except Exception as e:  # crash dump then CONTINUE with the next
                 # batch, matching the reference handler (training.py:465-478)
                 with training_dir():
@@ -476,6 +539,7 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                                 f"with exception {e}. MOST RECENT STATE DICTS SAVED TO ./tmp IN "
                                 f"TRAINING FOLDER")
                 _dump_tmp(state.params, full_state=state)
+        bar.close()
 
     # final state also goes to tmp so inference always has weights
     _dump_tmp(state.params, full_state=state)

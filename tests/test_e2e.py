@@ -131,3 +131,55 @@ def test_training_survives_loader_failure(tmp_path, monkeypatch):
     assert "EPOCH 2" in log  # second epoch still ran
     assert os.path.exists(tmp_path / "training_x" / "tmp" / "unet_0_tmp.ckpt")
     assert summary["final_step"] > 0
+
+
+@pytest.mark.slow
+def test_training_watchdog_skips_hung_batch(tmp_path, monkeypatch):
+    """A batch hung past the watchdog timeout is skipped with a progress-log
+    notice and training continues (reference _Timeout, training.py:325-341).
+    Batch 0 is exempt (XLA compile)."""
+    import time
+
+    import minimagen_tpu.training as training_mod
+
+    monkeypatch.chdir(tmp_path)
+    args = load_testing_parameters(get_minimagen_parser().parse_args([]))
+    args.IMG_SIDE_LEN = 16
+    args.EPOCHS = 1
+    args.CHCKPT_NUM = 100
+    args.MAX_NUM_WORDS = 8
+
+    ds = SyntheticCaptionedImages(num_items=8, side_length=16, encoder_name="t5_small",
+                                  max_length=8)
+    collate = MinimagenCollator(max_length=8)
+    train_dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True,
+                          collate_fn=collate, prefetch=0)
+    valid_dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True, collate_fn=collate)
+
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(16,), timesteps=25,
+                    cond_drop_prob=0.15, text_encoder_name="t5_small")
+    imagen.init_params(jax.random.PRNGKey(0))
+    training_dir = create_directory(str(tmp_path / "training_wd"))
+
+    real_make = training_mod.make_train_step
+    calls = {"n": 0}
+
+    def hanging_make_train_step(imagen_arg, optimizer, mesh=None):
+        real_step = real_make(imagen_arg, optimizer, mesh=mesh)
+
+        def step(state, batch, key):
+            calls["n"] += 1
+            if calls["n"] == 2:  # second batch hangs (first is compile-exempt)
+                time.sleep(3.0)
+            return real_step(state, batch, key)
+
+        return step
+
+    monkeypatch.setattr(training_mod, "make_train_step", hanging_make_train_step)
+    summary = MinimagenTrain("wd", args, imagen.unet_configs, imagen, train_dl,
+                             valid_dl, training_dir, make_optimizer(1e-4), timeout=1)
+
+    log = (tmp_path / "training_wd" / "training_progess.txt").read_text()
+    assert "SKIPPED" in log and "watchdog" in log
+    # the remaining batches still trained (4 batches total, 1 skipped)
+    assert summary["final_step"] >= 2

@@ -129,6 +129,15 @@ def test_sample_guidance_requires_cond_dropout():
         imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0)
 
 
+def test_sample_default_key_is_fresh_entropy(cascade):
+    """Without an explicit key, two sample() calls must differ (reference
+    draws fresh randn every run, Imagen.py:381; round-1 VERDICT missing #3)."""
+    _, embeds, mask = _batch()
+    a = cascade.sample(text_embeds=embeds, text_masks=mask, sampler="ddim", sample_steps=4)
+    b = cascade.sample(text_embeds=embeds, text_masks=mask, sampler="ddim", sample_steps=4)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
 def test_sample_fixed_key_is_deterministic(cascade):
     _, embeds, mask = _batch()
     a = cascade.sample(text_embeds=embeds, text_masks=mask, key=jax.random.PRNGKey(42))

@@ -157,3 +157,56 @@ def test_generate_directory_collision(tmp_path, monkeypatch):
         open("existing.png", "w").close()
     with pytest.raises(FileExistsError):
         _create_directory("outdir")
+
+
+def test_progress_bar_tty_and_nontty():
+    """ProgressBar paints in-place on TTYs and throttles lines otherwise
+    (tqdm-equivalent surface; reference Imagen.py:404, training.py:405,448)."""
+    import io
+
+    from minimagen_tpu.utils.progress import ProgressBar, progress_iter
+
+    # non-tty: at most ~10 lines for 100 updates
+    buf = io.StringIO()
+    bar = ProgressBar(total=100, desc="x", stream=buf, min_interval=0.0)
+    for _ in range(100):
+        bar.update()
+    bar.close()
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert 1 <= len(lines) <= 12
+    assert "100/100" in lines[-1]
+
+    # tty: carriage-return repaints
+    class FakeTTY(io.StringIO):
+        def isatty(self):
+            return True
+
+    tty = FakeTTY()
+    bar = ProgressBar(total=10, desc="y", stream=tty, min_interval=0.0)
+    for _ in range(10):
+        bar.update()
+    bar.close()
+    assert "\r" in tty.getvalue() and "10/10" in tty.getvalue()
+
+    # iterator wrapper
+    assert list(progress_iter(range(5), desc="z")) == [0, 1, 2, 3, 4]
+
+
+def test_batch_timeout_watchdog():
+    """_Timeout raises BatchTimeoutError on a hung block and is a no-op when
+    disabled (reference _Timeout SIGALRM, training.py:325-341)."""
+    import time
+
+    from minimagen_tpu.training import BatchTimeoutError, _Timeout
+
+    with pytest.raises(BatchTimeoutError):
+        with _Timeout(1):
+            time.sleep(2.5)
+
+    # disabled: no alarm
+    with _Timeout(None):
+        time.sleep(0.01)
+    # fast block under an active watchdog: no alarm, and the alarm is cleared
+    with _Timeout(5):
+        pass
+    time.sleep(0.05)  # would blow up here if the alarm leaked
