@@ -165,9 +165,25 @@ def make_optimizer(lr: float, accum_iter: int = 1) -> optax.GradientTransformati
     return tx
 
 
-def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
-    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=optimizer.init(params))
+def create_train_state(params, optimizer: optax.GradientTransformation,
+                       mesh: Optional[Mesh] = None) -> TrainState:
+    """Fresh TrainState. With `mesh`, every leaf not already placed on that
+    mesh (the step counter, optax scalar counters, host arrays) is committed
+    replicated onto it, so the whole state shares device placement — required
+    when the state round-trips through sharded Orbax checkpoints."""
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=optimizer.init(params))
+    if mesh is not None:
+        rep = replicated(mesh)
+
+        def place(leaf):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+                return leaf
+            return jax.device_put(leaf, rep)
+
+        state = jax.tree_util.tree_map(place, state)
+    return state
 
 
 def make_train_step(imagen, optimizer: optax.GradientTransformation,

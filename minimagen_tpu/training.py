@@ -28,6 +28,11 @@ TPU-first changes (documented deviations):
 - Checkpoints are flax msgpack param trees named `unet_<i>_state_<ts>.ckpt`
   (torch .pth pickles are not meaningful here); the load path accepts both
   the state_dicts/ and tmp/ fallback like the reference (generate.py:91-119).
+  Full-train-state checkpoints (params + Adam moments + step — beyond the
+  reference's weights-only restart) go to `tmp/train_state.ckpt` msgpack on
+  single-device runs and to the sharded Orbax directory
+  `tmp/train_state_orbax/` on mesh runs; resume restores onto the NEW run's
+  mesh shardings, so the mesh shape may change across restarts.
 - Per-batch hang protection is two-layer: fetch timeouts in the data loader
   (dataset.py fetch_timeout) AND a loop-level SIGALRM watchdog equivalent to
   the reference's `_Timeout` (training.py:325-341) that skips a batch hung
@@ -67,9 +72,11 @@ def _maybe_len(loader) -> Optional[int]:
 from .parallel.mesh import (
     create_train_state,
     device_prefetch,
+    infer_param_shardings,
     make_eval_step,
     make_optimizer,
     make_train_step,
+    place_params,
     shard_batch,
 )
 
@@ -289,6 +296,7 @@ def save_unet_checkpoint(path: str, unet_params) -> None:
 
 
 TRAIN_STATE_FILE = "train_state.ckpt"
+ORBAX_STATE_DIR = "train_state_orbax"
 
 
 def save_train_state(path: str, state) -> None:
@@ -400,14 +408,28 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
     optimizer = optimizer if optimizer is not None else make_optimizer(
         args.OPTIM_LR, getattr(args, "ACCUM_ITER", 1)
     )
-    state = create_train_state(imagen.params, optimizer)
+    if mesh is not None:
+        # commit params onto the mesh (replicated over 'data', wide kernels
+        # sharded over 'model' when it exists); the optimizer state inherits
+        # the same shardings through optax init
+        params = place_params(imagen.params, infer_param_shardings(imagen.params, mesh))
+    else:
+        params = imagen.params
+    state = create_train_state(params, optimizer, mesh=mesh)
 
     # full-state resume (optimizer moments + step), beyond the reference's
-    # weights-only restart
+    # weights-only restart. Mesh runs resume from the Orbax directory —
+    # restoring straight onto THIS run's shardings, even if the mesh shape
+    # changed since the checkpoint was written; the msgpack file is the
+    # single-device fallback.
     restart_dir = getattr(args, "RESTART_DIRECTORY", None)
     if restart_dir is not None:
+        orbax_path = os.path.join(restart_dir, "tmp", ORBAX_STATE_DIR)
         ts_path = os.path.join(restart_dir, "tmp", TRAIN_STATE_FILE)
-        if os.path.exists(ts_path):
+        if os.path.isdir(orbax_path):
+            state = load_train_state_orbax(orbax_path, state)
+            print(f"Restored full train state (step {int(state.step)}) from {orbax_path} [orbax]")
+        elif os.path.exists(ts_path):
             state = load_train_state(ts_path, state)
             print(f"Restored full train state (step {int(state.step)}) from {ts_path}")
     train_step = make_train_step(imagen, optimizer, mesh=mesh)
@@ -419,7 +441,13 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
             for idx in range(num_unets):
                 save_unet_checkpoint(f"unet_{idx}_tmp.{CKPT_EXT}", params[f"unet_{idx}"])
             if full_state is not None:
-                save_train_state(TRAIN_STATE_FILE, full_state)
+                if mesh is not None:
+                    # Orbax is the DEFAULT for mesh runs: per-shard files,
+                    # no full gather to host RAM (msgpack would), restorable
+                    # onto a different mesh shape
+                    save_train_state_orbax(ORBAX_STATE_DIR, full_state)
+                else:
+                    save_train_state(TRAIN_STATE_FILE, full_state)
 
     def _validate(params, epoch_key):
         running = np.zeros(num_unets)

@@ -243,3 +243,57 @@ def test_orbax_checkpoint_sharded_state(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # sharding preserved
     assert b.sharding.spec == a.sharding.spec
+
+
+@pytest.mark.slow
+def test_mesh_run_checkpoints_orbax_and_resumes_on_different_mesh(tmp_path, monkeypatch):
+    """MinimagenTrain(mesh=...) writes the full state via Orbax by default,
+    and a restart restores it onto a DIFFERENT mesh shape ({data:8} ->
+    {data:4, model:2}) with the step counter carried over (VERDICT round-1
+    item 6)."""
+    import os
+
+    from minimagen_tpu.data.collate import DataLoader, MinimagenCollator
+    from minimagen_tpu.data.dataset import SyntheticCaptionedImages
+    from minimagen_tpu.training import (
+        ORBAX_STATE_DIR,
+        MinimagenTrain,
+        create_directory,
+        get_minimagen_parser,
+        load_testing_parameters,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    args = load_testing_parameters(get_minimagen_parser().parse_args([]))
+    args.IMG_SIDE_LEN = 8
+    args.EPOCHS = 1
+    args.CHCKPT_NUM = 100
+    args.MAX_NUM_WORDS = 4
+    args.BATCH_SIZE = 8
+
+    ds = SyntheticCaptionedImages(num_items=16, side_length=8, encoder_name="t5_small",
+                                  max_length=4)
+    collate = MinimagenCollator(max_length=4)
+    train_dl = DataLoader(ds, batch_size=8, shuffle=False, drop_last=True, collate_fn=collate)
+    valid_dl = DataLoader(ds, batch_size=8, shuffle=False, drop_last=True, collate_fn=collate)
+
+    imagen = _tiny_imagen()
+    run_dir = str(tmp_path / "training_mesh")
+    training_dir = create_directory(run_dir)
+    summary = MinimagenTrain("m", args, imagen.unet_configs, imagen, train_dl, valid_dl,
+                             training_dir, make_optimizer(1e-4), mesh=make_mesh())
+    first_steps = summary["final_step"]
+    assert first_steps > 0
+    assert os.path.isdir(os.path.join(run_dir, "tmp", ORBAX_STATE_DIR))
+    assert not os.path.exists(os.path.join(run_dir, "tmp", "train_state.ckpt"))
+
+    # resume onto a DIFFERENT mesh shape
+    args.RESTART_DIRECTORY = run_dir
+    imagen2 = _tiny_imagen()
+    run_dir2 = str(tmp_path / "training_mesh2")
+    training_dir2 = create_directory(run_dir2)
+    summary2 = MinimagenTrain("m2", args, imagen2.unet_configs, imagen2, train_dl, valid_dl,
+                              training_dir2, make_optimizer(1e-4),
+                              mesh=make_mesh(model_parallel=2))
+    assert summary2["final_step"] == first_steps + summary["final_step"], \
+        "resumed run must continue the step counter"
