@@ -54,9 +54,9 @@ def multi_query_attention(
     (the U-Net's hot path); falls back to plain XLA otherwise.
     """
     if mask is None and attn_bias is None:
-        from .flash_attention import _pick_block_q, mqa_flash, pallas_enabled  # noqa: PLC0415
+        from .flash_attention import mqa_flash, use_pallas  # noqa: PLC0415
 
-        if pallas_enabled() and _pick_block_q(q.shape[2]) > 0:
+        if use_pallas(q.shape[2], k.shape[1]):
             return mqa_flash(q, k, v)
     sim = jnp.einsum("bhnd,bjd->bhnj", q, k, preferred_element_type=jnp.float32)
     if attn_bias is not None:
@@ -81,9 +81,9 @@ def multi_head_attention(
     Dispatches to the Pallas fused kernel on TPU when unmasked.
     """
     if mask is None:
-        from .flash_attention import _pick_block_q, mha_flash, pallas_enabled  # noqa: PLC0415
+        from .flash_attention import mha_flash, use_pallas  # noqa: PLC0415
 
-        if pallas_enabled() and _pick_block_q(q.shape[2]) > 0:
+        if use_pallas(q.shape[2], k.shape[2]):
             return mha_flash(q, k, v)
     sim = jnp.einsum("bhnd,bhjd->bhnj", q, k, preferred_element_type=jnp.float32)
     if mask is not None:

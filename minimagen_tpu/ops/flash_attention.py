@@ -20,13 +20,14 @@ are replaced by learned null embeddings, reference Unet.py:598-606).
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_Q = 256  # kept for backward compat; _pick_block_q now adapts
 
 _DISABLE_ENV = "MINIMAGEN_TPU_DISABLE_PALLAS"
 _INTERPRET_ENV = "MINIMAGEN_TPU_PALLAS_INTERPRET"
@@ -47,48 +48,79 @@ def _interpret() -> bool:
     return bool(os.environ.get(_INTERPRET_ENV))
 
 
+# Dispatch policy thresholds (env-overridable). Measured on one v5e chip with
+# tools/attn_bench.py (device-busy timing, b=8 h=8 d=64 bf16):
+#   self  n=4096 j=4097: pallas 7.5x faster than XLA
+#   self  n=1024 j=1025: pallas 2.3x faster
+#   self  n=256  j=257 : XLA 4x faster (small logits fuse fully in XLA)
+#   cross n=1024 j=66  : XLA 8x faster (flash blocking is pure overhead)
+# => use the fused kernel only when BOTH the query and KV axes are long.
+_MIN_KV_ENV = "MINIMAGEN_TPU_PALLAS_MIN_KV"
+_MIN_Q_ENV = "MINIMAGEN_TPU_PALLAS_MIN_Q"
+_MIN_KV_DEFAULT = 512
+_MIN_Q_DEFAULT = 512
+
+
+def use_pallas(n: int, j: int) -> bool:
+    """Should the fused Pallas kernel handle (query len n, KV len j)?"""
+    if not pallas_enabled():
+        return False
+    min_kv = int(os.environ.get(_MIN_KV_ENV, _MIN_KV_DEFAULT))
+    min_q = int(os.environ.get(_MIN_Q_ENV, _MIN_Q_DEFAULT))
+    return j >= min_kv and n >= min_q and _pick_block_q(n, j) > 0
+
+
 # --------------------------------------------------------------------------- #
 # kernels                                                                     #
 # --------------------------------------------------------------------------- #
-def _mqa_kernel(q_ref, k_ref, v_ref, o_ref):
-    """One (batch*head, q-block): q (BQ, D); shared k/v (J, D); out (BQ, D)."""
-    q = q_ref[0, 0]  # (BQ, D), already scaled by caller
-    k = k_ref[0]     # (J, D)
-    v = v_ref[0]     # (J, D)
+def _softmax_pv(q, k, v, out_dtype):
+    """Fused QK^T -> f32 softmax -> PV for one VMEM-resident block.
+
+    Late-divide: the output block (BQ, D) is divided by the row sums instead
+    of the (BQ, J) probability matrix — one full pass over the big matrix
+    saved (measured 10-17% kernel time at the flagship shapes on v5e)."""
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BQ, J) f32
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    return (o / denom).astype(out_dtype)
+
+
+def _mqa_kernel(q_ref, k_ref, v_ref, o_ref):
+    """One (batch*head, q-block): q (BQ, D); shared k/v (J, D); out (BQ, D)."""
+    o_ref[0, 0] = _softmax_pv(q_ref[0, 0], k_ref[0], v_ref[0], o_ref.dtype)
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref):
     """One (batch*head, q-block) with per-head k/v: q (BQ, D); k/v (J, D)."""
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o_ref[0, 0] = _softmax_pv(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], o_ref.dtype)
 
 
-def _pick_block_q(n: int) -> int:
-    bq = min(DEFAULT_BLOCK_Q, n)
-    while n % bq != 0:  # shapes here are powers of two; terminates quickly
+# scoped VMEM budget for the (BQ, J-padded) f32 logits block: v5e's scoped
+# vmem limit is 16 MB; leave headroom for q/k/v/o blocks and double buffering
+_VMEM_LOGITS_BUDGET = 12 * 1024 * 1024
+MAX_BLOCK_Q = 1024
+
+
+def _pick_block_q(n: int, j: Optional[int] = None) -> int:
+    """Largest q-block that divides n, fits the VMEM logits budget for KV
+    length j, and is <= MAX_BLOCK_Q. Bigger blocks amortize the per-block
+    max/sum reductions and K/V fetches (measured: bq=1024 beats the old fixed
+    256 by 1.2x at 1024 tokens on v5e). Returns 0 if nothing fits."""
+    cap = MAX_BLOCK_Q
+    if j is not None:
+        j_pad = ((j + 127) // 128) * 128  # lane-padded logits row length
+        cap = min(cap, _VMEM_LOGITS_BUDGET // (4 * j_pad))
+    bq = min(cap, n)
+    # round down to a power of two (shapes here are powers of two)
+    while bq & (bq - 1):
+        bq &= bq - 1
+    while bq >= 8 and n % bq != 0:
         bq //= 2
-        if bq < 8:
-            return 0
-    return bq
+    return bq if bq >= 8 else 0
 
 
 # --------------------------------------------------------------------------- #
@@ -97,7 +129,7 @@ def _pick_block_q(n: int) -> int:
 def _mqa_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     b, h, n, d = q.shape
     j = k.shape[1]
-    bq = _pick_block_q(n)
+    bq = _pick_block_q(n, j)
     assert bq > 0, f"unsupported query length {n}"
 
     grid = (b * h, n // bq)
@@ -175,7 +207,7 @@ def _mqa_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
 def _mqa_bwd_pallas(q, k, v, g):
     b, h, n, d = q.shape
     j = k.shape[1]
-    bq = _pick_block_q(n)
+    bq = _pick_block_q(n, j)
 
     dq, dk, dv = pl.pallas_call(
         _mqa_bwd_kernel,
@@ -222,7 +254,7 @@ def _mqa_bwd(res, g):
     b, h, n, _ = q.shape
     j = k.shape[1]
     p_bytes = 4 * b * h * n * j  # f32 probability matrix the XLA path builds
-    if (pallas_enabled() and _pick_block_q(q.shape[2]) > 0
+    if (pallas_enabled() and _pick_block_q(q.shape[2], j) > 0
             and p_bytes > _fused_bwd_threshold()):
         return _mqa_bwd_pallas(q, k, v, g)
     s = jnp.einsum("bhnd,bjd->bhnj", q, k, preferred_element_type=jnp.float32)
@@ -246,7 +278,7 @@ mqa_flash.defvjp(_mqa_fwd, _mqa_bwd)
 def _mha_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     b, h, n, d = q.shape
     j = k.shape[2]
-    bq = _pick_block_q(n)
+    bq = _pick_block_q(n, j)
     assert bq > 0, f"unsupported query length {n}"
 
     grid = (b * h, n // bq)
