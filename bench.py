@@ -1,24 +1,29 @@
-"""Headline benchmark: guided denoise steps/sec on the flagship base-64px
-U-Net (one step = pair-batched cond+uncond forward + posterior math, i.e. the
-unit of reverse-diffusion work — the reference spends 2 sequential forwards
-per step here, Imagen.py:404-415 + Unet.py:498-506).
+"""Driver benchmark: the full flagship performance picture in ONE run.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline metric stays `base64px_guided_denoise_steps_per_sec_per_chip`;
+`extra` carries the train-step rate, the 64->256 cascade latency, an MFU
+estimate, and the re-measured torch-CPU baseline (VERDICT round-1 weak #5
+asked for all metrics + a same-run baseline in one bench).
 
-vs_baseline: value / TORCH_CPU_BASELINE, where the baseline is the ACTUAL
-PyTorch reference U-Net (same dim-128 Imagen-base topology, same batch 4,
-same guided two-forward step via `forward_with_cond_scale`) measured on this
-host's CPU: 0.15 steps/s (single core, torch 2.13, 2026-08-16; see
-BASELINE.md — the reference publishes no numbers of its own, and its north
-star asks for >5x PyTorch-CPU, i.e. vs_baseline >= 5).
+Timing methodology: the denoise/train loops are chained inside one jit
+(`lax.fori_loop`) and timed by the SLOPE between two chain lengths — the
+sandbox's remote-TPU tunnel adds ~0.1-0.3 s of per-dispatch latency that
+would otherwise dominate; production sampling is one `lax.scan` per stage and
+never pays a per-step dispatch. The cascade metric uses the real
+`Imagen.sample` path, readback-synced (block_until_ready under-syncs through
+the tunnel).
 
-Env knobs: BENCH_BATCH (default 4), BENCH_STEPS (default 30), BENCH_DTYPE
-(bfloat16|float32, default bfloat16), MINIMAGEN_TPU_DISABLE_PALLAS=1 to
-measure the plain-XLA attention path.
+Env knobs: BENCH_BATCH (4), BENCH_STEPS (50, chain length), BENCH_DTYPE
+(bfloat16), BENCH_TORCH=0 to skip the ~15 s torch-CPU re-measure,
+BENCH_CASCADE=0 to skip the cascade (cold compile of the 256px SR stage is
+minutes; warm-cache runs take seconds), MINIMAGEN_TPU_DISABLE_PALLAS=1 for
+the plain-XLA attention path.
 """
 import json
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,60 +34,174 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/minimagen_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+V5E_BF16_TFLOPS = 197.0
+TORCH_CPU_FALLBACK = 0.15  # 2026-08-16 measurement; used if re-measure is off
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 
-    from __graft_entry__ import _flagship_imagen
+def _slope_time(run, n_small: int, n_big: int) -> float:
+    """Seconds per step from the slope between two chained runs (cancels the
+    fixed per-dispatch tunnel latency)."""
+    run(n_small)  # compile both chain lengths + warm
+    run(n_big)
+    t0 = time.perf_counter()
+    run(n_small)
+    t1 = time.perf_counter()
+    run(n_big)
+    t2 = time.perf_counter()
+    return max(((t2 - t1) - (t1 - t0)) / (n_big - n_small), 1e-9)
+
+
+def bench_denoise(imagen, steps: int, batch: int):
     from minimagen_tpu.parallel.mesh import cast_params
 
-    imagen = _flagship_imagen(dtype=dtype)
     L = 64
-    key = jax.random.PRNGKey(0)
-    params = imagen.init_params(key, batch_size=2, text_len=L, stages=[0])["unet_0"]
-    if os.environ.get("BENCH_PARAM_DTYPE", "bfloat16") == "bfloat16" and dtype == jnp.bfloat16:
-        # serving-style bf16 weights: halves weight HBM reads per step
-        params = cast_params(params, jnp.bfloat16)
+    params = imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=L,
+                                stages=[0])["unet_0"]
+    params = cast_params(params, jnp.bfloat16)
     scheduler = imagen.noise_schedulers[0]
-
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 64, 64, 3)), jnp.float32)
     text_embeds = jnp.asarray(rng.normal(size=(batch, L, 768)), jnp.float32)
     text_mask = jnp.ones((batch, L), jnp.bool_)
+    t = jnp.full((batch,), 500, jnp.int32)
 
-    @jax.jit
-    def denoise_step(params, x, t, noise_key):
+    def one_step(params, x, key):
         mean, _, log_var = imagen._p_mean_variance(
             0, scheduler, params, x, t, text_embeds=text_embeds, text_mask=text_mask,
             lowres_cond_img=None, lowres_noise_times=None,
             cond_scale=jnp.float32(3.0), guided=True,
         )
-        noise = jax.random.normal(noise_key, x.shape, x.dtype)
+        noise = jax.random.normal(key, x.shape, x.dtype)
         return mean + jnp.exp(0.5 * log_var) * noise
 
-    t = jnp.full((batch,), 500, jnp.int32)
-    # warmup / compile; sync via host readback (block_until_ready does not
-    # reliably wait for device compute through the remote tunnel)
-    x1 = denoise_step(params, x, t, jax.random.PRNGKey(1))
-    np.asarray(x1)
+    @partial(jax.jit, static_argnums=2)
+    def chain(params, x, n):
+        def body(i, x):
+            return one_step(params, x, jax.random.fold_in(jax.random.PRNGKey(0), i))
+        return jax.lax.fori_loop(0, n, body, x)
 
-    start = time.perf_counter()
-    xi = x
-    for i in range(steps):
-        xi = denoise_step(params, xi, t, jax.random.PRNGKey(i))
-    np.asarray(xi)  # chained steps: readback forces all to complete
-    elapsed = time.perf_counter() - start
+    sec_per_step = _slope_time(lambda n: np.asarray(chain(params, x, n)),
+                               steps, steps * 3)
 
-    TORCH_CPU_BASELINE = 0.15  # measured reference rate on this host (see module docstring)
+    # FLOPs of one step for the MFU estimate
+    try:
+        cost = jax.jit(one_step).lower(params, x, jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    mfu = flops / sec_per_step / (V5E_BF16_TFLOPS * 1e12) if flops else None
+    return 1.0 / sec_per_step, mfu
 
-    steps_per_sec = steps / elapsed
+
+def bench_train(imagen, steps: int, batch: int = 8):
+    import optax
+
+    from minimagen_tpu.parallel.mesh import GRAD_CLIP_NORM
+
+    L = 64
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=L, stages=[0])
+    loss_fn = imagen.stage_loss_fn(0)
+    opt = optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM), optax.adam(1e-4))
+    params = imagen.params["unet_0"]
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (batch, 64, 64, 3)), jnp.float32)
+    embeds = jnp.asarray(rng.normal(size=(batch, L, 768)), jnp.float32)
+    mask = jnp.ones((batch, L), jnp.bool_)
+
+    @partial(jax.jit, static_argnums=2)
+    def chain(carry, key, n):
+        def body(i, carry):
+            params, opt_state = carry
+            _, grads = jax.value_and_grad(loss_fn)(params, images, embeds, mask,
+                                                   jax.random.fold_in(key, i))
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+        return jax.lax.fori_loop(0, n, body, carry)
+
+    def run(n):
+        out = chain((params, opt_state), jax.random.PRNGKey(0), n)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    sec_per_step = _slope_time(run, max(steps // 4, 4), max(steps // 4, 4) * 3)
+    return 1.0 / sec_per_step
+
+
+def bench_cascade(imagen, batch: int = 4):
+    """64->256 guided cascade via the REAL Imagen.sample path, DDIM-50 both
+    stages; returns seconds per image (includes the per-stage dispatch)."""
+    L = 64
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=L)
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(rng.normal(size=(batch, L, 768)), jnp.float32)
+    mask = jnp.ones((batch, L), jnp.bool_)
+
+    def run():
+        out = imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                            sampler="ddim", sample_steps=50,
+                            key=jax.random.PRNGKey(0))
+        np.asarray(out)
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    run()
+    return (time.perf_counter() - t0) / batch
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+
+    from __graft_entry__ import _flagship_imagen
+
+    imagen = _flagship_imagen(dtype=dtype)
+
+    denoise_sps, mfu = bench_denoise(imagen, steps, batch)
+    train_sps = bench_train(_flagship_imagen(dtype=dtype), steps)
+
+    cascade_s = None
+    if os.environ.get("BENCH_CASCADE", "1") != "0":
+        try:
+            cascade_s = bench_cascade(_flagship_imagen(dtype=dtype), batch)
+        except Exception as e:
+            print(f"cascade bench failed: {e}", flush=True)
+
+    torch_sps = TORCH_CPU_FALLBACK
+    torch_measured = False
+    if os.environ.get("BENCH_TORCH", "1") != "0":
+        # clean subprocess: in-process measurement is ~2x slower because the
+        # JAX runtime's host threads contend for this sandbox's single core
+        import subprocess
+        import sys
+
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                              "tools", "torch_baseline.py"), "2"],
+                capture_output=True, text=True, timeout=300, check=True,
+            )
+            torch_sps = float(out.stdout.strip().splitlines()[-1])
+            torch_measured = True
+        except Exception as e:
+            print(f"torch baseline re-measure failed ({e}); using fallback", flush=True)
+
     print(json.dumps({
         "metric": "base64px_guided_denoise_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 3),
+        "value": round(denoise_sps, 3),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / TORCH_CPU_BASELINE, 2),
+        "vs_baseline": round(denoise_sps / torch_sps, 2),
+        "extra": {
+            "train_steps_per_sec_batch8": round(train_sps, 3),
+            "cascade_64_256_ddim50_s_per_image": (
+                round(cascade_s, 3) if cascade_s is not None else None),
+            "mfu_vs_197tflops": round(mfu, 4) if mfu is not None else None,
+            "torch_cpu_baseline_steps_per_sec": round(torch_sps, 4),
+            "torch_baseline_remeasured": torch_measured,
+            "pallas_disabled": bool(os.environ.get("MINIMAGEN_TPU_DISABLE_PALLAS")),
+        },
     }))
 
 

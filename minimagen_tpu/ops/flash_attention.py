@@ -234,16 +234,18 @@ def _mqa_bwd_pallas(q, k, v, g):
 
 
 _FUSED_BWD_THRESHOLD_ENV = "MINIMAGEN_TPU_FUSED_BWD_THRESHOLD"
-# Default: use the fused backward only when the XLA path's materialized
-# probability matrix would exceed this many bytes.  Measured on v5e: the XLA
-# backward is ~15% faster when p fits comfortably (full cross-head
-# parallelism), while the fused kernel keeps p in VMEM entirely — it is the
-# memory-pressure tool that unlocks sizes the XLA path cannot hold.
-_FUSED_BWD_DEFAULT_THRESHOLD = 4 * 1024**3
+# Default 0: always use the fused backward when the forward ran fused.
+# Round-1 measured the XLA recompute ~15% faster when p fits — that result is
+# obsolete with the round-2 kernel (adaptive q-blocks + dispatch keeping
+# short-KV shapes out of Pallas entirely): re-profiled on v5e 2026-08-16, the
+# fused backward is 4.5x faster than the XLA recompute at the flagship
+# 1024-token shape (617 us vs ~2.8 ms device time) and cut the whole train
+# step 26.3 -> 21.2 ms. The env knob remains as an escape hatch (set a byte
+# threshold to fall back to XLA recompute below it).
 
 
 def _fused_bwd_threshold() -> int:
-    return int(os.environ.get(_FUSED_BWD_THRESHOLD_ENV, _FUSED_BWD_DEFAULT_THRESHOLD))
+    return int(os.environ.get(_FUSED_BWD_THRESHOLD_ENV, 0))
 
 
 def _mqa_bwd(res, g):

@@ -1,0 +1,117 @@
+"""Three-stage 64->256->1024 flagship cascade benchmark (BASELINE.json
+config #5 stretch; VERDICT round-1 item 3).
+
+Stage design is TPU-first, mirroring the real Imagen system's choices rather
+than blindly scaling the reference's `Super` preset (Unet.py:667-692): the
+256->1024 SR U-Net drops self-attention entirely (16384 spatial tokens at its
+deepest level would cost ~1 PFLOP per CFG step; the Imagen paper's 1024 model
+likewise removes self-attention) and keeps cross-attention only at the
+deepest resolution, where the short text KV routes to XLA's fused path.
+`memory_efficient=True` pre-downsamples before the heavy blocks so the
+1024px activations stay thin.
+
+Usage: python tools/cascade1024_bench.py [--steps 50] [--batch 1]
+Prints one JSON line: s/image, per-stage seconds, HBM peak.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("MINIMAGEN_TPU_T5_FALLBACK", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/minimagen_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_imagen(dtype=jnp.bfloat16):
+    from minimagen_tpu.models.imagen import Imagen
+    from minimagen_tpu.models.unet import UnetConfig
+
+    base = UnetConfig(
+        dim=128, dim_mults=(1, 2, 3, 4), num_resnet_blocks=3,
+        layer_attns=(False, True, True, True), layer_cross_attns=(False, True, True, True),
+        memory_efficient=False, attend_at_middle=True,
+    )
+    sr1 = UnetConfig(
+        dim=64, dim_mults=(1, 2, 4, 8), num_resnet_blocks=(2, 4, 8, 8),
+        layer_attns=(False, False, False, True), layer_cross_attns=(False, False, False, True),
+        memory_efficient=True,
+    )
+    sr2 = UnetConfig(
+        dim=64, dim_mults=(1, 2, 4, 8), num_resnet_blocks=(2, 4, 8, 8),
+        layer_attns=False,                      # no self-attn at 1024px (see module docstring)
+        layer_cross_attns=(False, False, False, True),
+        memory_efficient=True, attend_at_middle=False,
+    )
+    return Imagen(
+        unets=[base, sr1, sr2], image_sizes=(64, 256, 1024), timesteps=1000,
+        cond_drop_prob=0.1, text_encoder_name="t5_large", text_embed_dim=1024,
+        dtype=dtype,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    imagen = build_imagen()
+    L = 64
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=1, text_len=L)
+    from minimagen_tpu.parallel.mesh import cast_params
+
+    imagen.params = cast_params(imagen.params, jnp.bfloat16)  # serving weights
+
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(rng.normal(size=(args.batch, L, 1024)), jnp.float32)
+    mask = jnp.ones((args.batch, L), jnp.bool_)
+
+    def run():
+        t_stage = []
+        outs = imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                             sampler="ddim", sample_steps=args.steps,
+                             key=jax.random.PRNGKey(0), return_all_stage_outputs=True)
+        np.asarray(outs[-1])
+        return outs
+
+    # per-stage timing: time each stage's jitted fn directly like sample() does
+    t0 = time.perf_counter()
+    outs = run()  # compile + warm (cold: many minutes through the tunnel)
+    compile_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    outs = run()
+    total = time.perf_counter() - t0
+
+    shapes = [tuple(o.shape) for o in outs]
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        mem = {k: stats[k] for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+               if k in stats}
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "cascade_64_256_1024_ddim%d_s_per_image" % args.steps,
+        "value": round(total / args.batch, 3),
+        "unit": "s/image",
+        "batch": args.batch,
+        "stage_output_shapes": shapes,
+        "first_run_wall_s_incl_compile": round(compile_wall, 1),
+        "hbm": mem,
+    }))
+
+
+if __name__ == "__main__":
+    main()

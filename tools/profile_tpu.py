@@ -39,23 +39,41 @@ def _find_xplane(logdir: str) -> str:
     return max(paths, key=os.path.getmtime)
 
 
+import re
+
+# the op kind is the identifier between the (possibly tuple) result shape and
+# the operand list: "%x = bf16[...]{...} fusion(...)", "%y = (f32[..], ..) sort(..."
+_KIND_RE = re.compile(r"[}\)]\s*([a-z][a-z-]*)\(")
+
+
 def _category(op_name: str) -> str:
-    """Coarse op-category from an XLA op's trace name."""
-    n = op_name.lower()
+    """Coarse op-category from an XLA op's trace name.
+
+    Uses the instruction KIND (the token before the operand list), not a
+    substring of the whole expression — operand text routinely contains
+    'custom-call'/'fusion' and would misattribute."""
+    head = op_name.split(" = ", 1)
+    label = head[0].lower()
+    if "attn" in label:
+        return "attention"
+    kind = None
+    if len(head) == 2:
+        m = _KIND_RE.search(head[1])
+        if m:
+            kind = m.group(1)
+    kind = kind or ""
+    if kind == "fusion":
+        if "convolution" in label:
+            return "conv"
+        return "fusion"
     for key, cat in [
-        ("convolution", "conv"),
-        ("convert", "fusion"),  # convert_* fusions are elementwise, NOT convs
-        ("conv", "conv"),
-        ("attn", "attention"),
-        ("dot", "matmul"), ("einsum", "matmul"),
-        ("custom-call", "custom-call"),
-        ("fusion", "fusion"),
-        ("reduce", "reduce"), ("scatter", "scatter"), ("gather", "gather"),
-        ("copy", "copy"), ("transpose", "transpose"),
+        ("convolution", "conv"), ("custom-call", "custom-call"),
+        ("dot", "matmul"), ("reduce", "reduce"), ("scatter", "scatter"),
+        ("gather", "gather"), ("copy", "copy"), ("transpose", "transpose"),
         ("all-reduce", "collective"), ("all-gather", "collective"),
         ("rng", "rng"), ("sort", "sort"),
     ]:
-        if key in n:
+        if key in kind or key in label:
             return cat
     return "other"
 
@@ -130,32 +148,40 @@ def build_denoise():
 
 
 def build_train():
+    import optax
+
     from __graft_entry__ import _flagship_imagen
-    from minimagen_tpu.parallel.mesh import (
-        create_train_state, make_optimizer, make_train_step,
-    )
+    from minimagen_tpu.parallel.mesh import GRAD_CLIP_NORM
 
     batch, L = 8, 64
     imagen = _flagship_imagen(dtype=jnp.bfloat16)
     imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=L, stages=[0])
-    opt = make_optimizer(1e-4)
-    state = create_train_state(imagen.params, opt)
-    step = make_train_step(imagen, opt, mesh=None, donate=False)
+    loss_fn = imagen.stage_loss_fn(0)
+    opt = optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM), optax.adam(1e-4))
+    params = imagen.params["unet_0"]
+    opt_state = opt.init(params)
     rng = np.random.default_rng(0)
-    batch_data = {
-        "image": jnp.asarray(rng.uniform(0, 1, (batch, 64, 64, 3)), jnp.float32),
-        "encoding": jnp.asarray(rng.normal(size=(batch, L, 768)), jnp.float32),
-        "mask": jnp.ones((batch, L), jnp.bool_),
-    }
+    images = jnp.asarray(rng.uniform(0, 1, (batch, 64, 64, 3)), jnp.float32)
+    embeds = jnp.asarray(rng.normal(size=(batch, L, 768)), jnp.float32)
+    mask = jnp.ones((batch, L), jnp.bool_)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, embeds, mask, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    state = {"p": params, "o": opt_state}
 
     def run(n):
-        nonlocal state
-        losses = None
+        p, o = state["p"], state["o"]
+        loss = None
         for i in range(n):
-            state, losses = step(state, batch_data, jax.random.PRNGKey(i))
-        np.asarray(losses)
+            p, o, loss = step(p, o, jax.random.PRNGKey(i))
+        state["p"], state["o"] = p, o
+        np.asarray(loss)
 
-    flops_per_step = _step_flops(step, state, batch_data, jax.random.PRNGKey(0))
+    flops_per_step = _step_flops(step, params, opt_state, jax.random.PRNGKey(0))
     return run, flops_per_step
 
 
