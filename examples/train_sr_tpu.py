@@ -120,19 +120,10 @@ def main():
     gt32 = np.asarray(resize_image_to(jnp.asarray(gt64), 32))
     bicubic = np.asarray(resize_image_to(jnp.asarray(gt32), 64))
 
-    # noise the lowres conditioning at the fixed sampling level (0.2), exactly
-    # like Imagen.sample does for super-res stages (reference Imagen.py:479-485)
-    lowres_up = np.asarray(resize_image_to(jnp.asarray(gt32), 64))
-    noise_times = imagen.lowres_noise_schedule.get_times(8, imagen.lowres_sample_noise_level)
-    lowres_noised = imagen.lowres_noise_schedule.q_sample(
-        x_start=jnp.asarray(lowres_up), t=noise_times,
-        noise=jax.random.normal(jax.random.PRNGKey(3), lowres_up.shape),
-    )
-    sr_fn = imagen._jitted_sample_stage(1, guided=True, sampler="ddim",
-                                       sample_steps=args.sr_eval_steps)
-    sr_out = np.asarray(sr_fn(imagen.params["unet_1"], jax.random.PRNGKey(11),
-                              jnp.asarray(embeds, jnp.float32), jnp.asarray(mask, jnp.bool_),
-                              jnp.float32(3.0), lowres_noised, noise_times))
+    sr_out = np.asarray(imagen.super_resolve(
+        jnp.asarray(gt32), stage=1, text_embeds=embeds, text_masks=mask,
+        cond_scale=3.0, sampler="ddim", sample_steps=args.sr_eval_steps,
+        key=jax.random.PRNGKey(11)))
 
     p_sr = psnr(sr_out, gt64)
     p_bi = psnr(bicubic, gt64)

@@ -505,6 +505,67 @@ class Imagen:
             result = [tr(r) for r in result] if isinstance(result, list) else tr(result)
         return result
 
+    def super_resolve(
+        self,
+        images,
+        *,
+        stage: int = 1,
+        texts: Optional[List[str]] = None,
+        text_embeds=None,
+        text_masks=None,
+        cond_scale: float = 1.0,
+        lowres_sample_noise_level: Optional[float] = None,
+        params: Optional[Dict[str, Any]] = None,
+        key: Optional[jax.Array] = None,
+        sampler: str = "ddim",
+        sample_steps: Optional[int] = None,
+    ):
+        """Upscale EXISTING images through one super-res stage (a TPU-era
+        capability beyond the reference, which can only run the full cascade
+        from noise — Imagen.py:468-499 always starts at stage 0).
+
+        :param images: (b, h, w, c) [0,1] NHWC inputs (any size; resized to
+            the stage's input resolution).
+        :param stage: super-res stage index (>= 1; its `lowres_cond` U-Net
+            conditions on `images`).
+        :return: (b, S, S, c) [0,1] images at the stage's output size.
+        """
+        assert 1 <= stage < self.num_unets and self.unet_configs[stage].lowres_cond, (
+            f"stage {stage} is not a super-resolution stage"
+        )
+        params = self._get_params(params)
+        key = default(key, lambda: jax.random.PRNGKey(
+            int.from_bytes(os.urandom(4), "little")))
+
+        if exists(texts) and not exists(text_embeds):
+            text_embeds, text_masks = t5_encode_text(texts, name=self.text_encoder_name)
+        assert exists(text_embeds), "text or text encodings must be passed"
+        text_embeds = jnp.asarray(text_embeds, jnp.float32)
+        text_masks = jnp.asarray(text_masks, jnp.bool_) if exists(text_masks) else None
+
+        b = text_embeds.shape[0]
+        images = jnp.asarray(images, jnp.float32)
+        assert images.shape[0] == b, "images/text batch mismatch"
+        noise_level = default(lowres_sample_noise_level, self.lowres_sample_noise_level)
+        guided = cond_scale != 1.0
+        if guided:
+            assert self.can_classifier_guidance
+
+        key, stage_key, aug_key = jax.random.split(key, 3)
+        # fixed-level noise augmentation of the conditioning image, in [0,1]
+        # space exactly like sample() (reference order, Imagen.py:479-485)
+        lowres_noise_times = self.lowres_noise_schedule.get_times(b, noise_level)
+        lowres_cond_img = resize_image_to(images, self.image_sizes[stage])
+        lowres_cond_img = self.lowres_noise_schedule.q_sample(
+            x_start=lowres_cond_img, t=lowres_noise_times,
+            noise=jax.random.normal(aug_key, lowres_cond_img.shape, lowres_cond_img.dtype),
+        )
+        sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps)
+        return sample_fn(
+            params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
+            jnp.float32(cond_scale), lowres_cond_img, lowres_noise_times,
+        )
+
     # ------------------------------------------------------------------ #
     # training loss                                                       #
     # ------------------------------------------------------------------ #

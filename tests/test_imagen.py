@@ -331,3 +331,19 @@ def test_forward_with_cond_scale_shim(cascade):
                                  text_keep_mask=jnp.array([False, False]))
     expected = np.asarray(null) + (np.asarray(cond) - np.asarray(null)) * 3.0
     np.testing.assert_allclose(np.asarray(guided), expected, atol=1e-4)
+
+
+def test_super_resolve_existing_images(cascade):
+    """super_resolve upscales EXISTING images through an SR stage (beyond the
+    reference, which always runs the full cascade from noise)."""
+    images = jax.random.uniform(jax.random.PRNGKey(5), (2, 8, 8, 3))
+    _, embeds, mask = _batch()
+    out = cascade.super_resolve(images, stage=1, text_embeds=embeds, text_masks=mask,
+                                cond_scale=3.0, sampler="ddim", sample_steps=4,
+                                key=jax.random.PRNGKey(6))
+    assert out.shape == (2, 16, 16, 3)
+    arr = np.asarray(out)
+    assert np.all(np.isfinite(arr)) and arr.min() >= 0.0 and arr.max() <= 1.0
+    # stage 0 is not an SR stage
+    with pytest.raises(AssertionError):
+        cascade.super_resolve(images, stage=0, text_embeds=embeds, text_masks=mask)
