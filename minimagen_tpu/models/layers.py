@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import multi_head_attention, multi_query_attention
+from ..ops.group_norm import group_norm_silu
 from ..ops.helpers import default, exists
+from ..ops.stem_conv import cross_embed_conv
 
 ATTN_DIM_HEAD = 64  # reference Unet.py:86
 NUM_TIME_TOKENS = 2  # reference Unet.py:87
@@ -87,25 +89,32 @@ class AffineLayerNorm(nn.Module):
 
 class GroupNorm(nn.Module):
     """GroupNorm over (group-channels, H, W) per sample with f32 statistics
-    (torch nn.GroupNorm semantics, used by reference Block, layers.py:127)."""
+    (torch nn.GroupNorm semantics, used by reference Block, layers.py:127).
+
+    Optionally fuses the Block's time scale-shift and SiLU into the same op
+    (one Pallas VMEM pass on TPU; plain XLA elsewhere) — see
+    `ops.group_norm.group_norm_silu`.
+    """
 
     groups: int
     dim: int
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        silu: bool = False,
+    ) -> jnp.ndarray:
+        c = x.shape[-1]
         assert c == self.dim and c % self.groups == 0, f"channels {c} not divisible into {self.groups} groups"
         scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
-
-        xg = x.reshape(b, h, w, self.groups, c // self.groups).astype(jnp.float32)
-        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
-        var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        out = xg.reshape(b, h, w, c).astype(x.dtype)
-        return out * scale.astype(x.dtype) + bias.astype(x.dtype)
+        return group_norm_silu(
+            x, scale, bias, groups=self.groups, eps=self.eps,
+            scale_shift=scale_shift, silu=silu,
+        )
 
 
 # --------------------------------------------------------------------------- #
@@ -259,13 +268,12 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> jnp.ndarray:
         if self.norm:
-            x = GroupNorm(self.groups, self.dim, name="groupnorm")(x)
-
-        if exists(scale_shift):
-            scale, shift = scale_shift
-            x = x * (scale + 1.0) + shift
-
-        x = jax.nn.silu(x)
+            x = GroupNorm(self.groups, self.dim, name="groupnorm")(x, scale_shift=scale_shift, silu=True)
+        else:
+            if exists(scale_shift):
+                scale, shift = scale_shift
+                x = x * (scale + 1.0) + shift
+            x = jax.nn.silu(x)
         return nn.Conv(self.dim_out, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="project")(x)
 
 
@@ -363,9 +371,32 @@ class TransformerBlock(nn.Module):
 # --------------------------------------------------------------------------- #
 # resampling / stem                                                           #
 # --------------------------------------------------------------------------- #
+class _ConvParams(nn.Module):
+    """Parameter factory with nn.Conv's exact tree ({kernel, bias}) and
+    initializers, so CrossEmbedLayer can route the math through
+    `ops.stem_conv` without changing checkpoints or the torch-import map."""
+
+    features: int
+    kernel_size: int
+    dim_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, self.dim_in, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class CrossEmbedLayer(nn.Module):
     """Inception-style stem: parallel convs with kernel sizes (3, 7, 15...) and
-    geometrically-split channel counts, concatenated (reference layers.py:254-305)."""
+    geometrically-split channel counts, concatenated (reference layers.py:254-305).
+
+    On TPU the stride-1 stem dispatches to `ops.stem_conv.cross_embed_fused`
+    (kernel merging + space-to-depth) — the small-cin convs otherwise run the
+    MXU at ~4% and cost ~8% of the flagship denoise step."""
 
     dim_in: int
     kernel_sizes: Sequence[int]
@@ -383,16 +414,12 @@ class CrossEmbedLayer(nn.Module):
         dim_scales = [int(dim_out / (2**i)) for i in range(1, num_scales)]
         dim_scales = [*dim_scales, dim_out - sum(dim_scales)]
 
-        fmaps = []
+        kernels, biases = [], []
         for i, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
-            pad = (kernel - self.stride) // 2
-            fmaps.append(
-                nn.Conv(
-                    dim_scale, (kernel, kernel), strides=self.stride,
-                    padding=((pad, pad), (pad, pad)), dtype=self.dtype, name=f"conv_{i}",
-                )(x)
-            )
-        return jnp.concatenate(fmaps, axis=-1)
+            k, b = _ConvParams(dim_scale, kernel, x.shape[-1], name=f"conv_{i}")()
+            kernels.append(k)
+            biases.append(b)
+        return cross_embed_conv(x, kernels, biases, stride=self.stride, dtype=self.dtype)
 
 
 class Downsample(nn.Module):

@@ -1,0 +1,343 @@
+"""Pallas TPU fused GroupNorm -> time scale-shift -> SiLU.
+
+The reference Block is GroupNorm -> (t-conditioned scale-shift) -> SiLU ->
+3x3 conv (/root/reference/minimagen/layers.py:107-145). XLA lowers the norm
+as a convert+reduce fusion (stats pass over x) followed by a normalize
+fusion (second pass over x) — three full HBM sweeps of the activation per
+Block (read, read, write), measured at ~1.2 ms of the 5.32 ms flagship
+denoise step (tools/profile_tpu.py, round 2).
+
+This kernel keeps one sample's (H, W, C) slab resident in VMEM and does
+stats + normalize + affine + scale-shift + SiLU in a single pass: one HBM
+read and one write. Group statistics are computed with the channel axis kept
+at lane width: row-sums produce per-channel (1, C) partials, and a constant
+(C, G) one-hot matmul folds channels into groups (and its transpose
+broadcasts group stats back to channels) — no (..., C/G)-shaped reshapes
+that would leave most vector lanes idle.
+
+Backward is a second single-pass kernel (custom VJP): dgamma/dbeta
+accumulate across the sequential batch grid into a revisited output block
+(same pattern as ops/flash_attention._mqa_bwd_kernel); per-sample
+scale-shift grads and the standard GroupNorm dx are emitted per grid step.
+
+Dispatch — measured result (tools/gn_bench.py, one v5e chip, 2026-08-16):
+**XLA wins at every flagship shape**, so the fused kernel is OFF by default
+(`MINIMAGEN_TPU_GN_FUSED=1` forces it on; interpret mode keeps it testable):
+
+| shape (b=8, bf16) | XLA us | Pallas us | fwd speedup | f+b speedup |
+|---|---|---|---|---|
+| 64x64x128 | 50.8 | 91.0 | 0.56x | 0.58x |
+| 32x32x256 | 27.2 | 41.2 | 0.66x | 0.64x |
+| 16x16x384 | 10.5 | 18.8 | 0.56x | 0.67x |
+| 8x8x512   |  4.7 | 10.6 | 0.44x | 0.53x |
+
+Why: XLA's convert_reduce + normalize fusions already run this chain near
+HBM bandwidth (~470 GB/s effective at the largest shape) *and* fuse the
+normalize into neighbouring producers/consumers across the surrounding ops —
+a standalone kernel can't see across its own boundary, and the per-sample
+grid (8 sequential slabs) pipelines worse than XLA's row-parallel fusions.
+The kernel stays as measured-off infrastructure (same policy as the
+short-sequence attention shapes, ops/flash_attention.py::use_pallas).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flash_attention import _interpret, pallas_enabled
+
+# Per-sample f32 slab budget (H*W*C*4 bytes). Forward keeps ~4 slabs live,
+# backward ~6; v5e VMEM is 16 MB. 2 MB covers every flagship-base shape
+# (64x64x128 = 2 MB is the largest) while leaving Mosaic room to double
+# buffer; bigger SR-stage slabs fall back to XLA.
+_FWD_SLAB_BUDGET = 2 * 1024 * 1024
+_BWD_SLAB_BUDGET = 2 * 1024 * 1024
+
+_GN_ENV = "MINIMAGEN_TPU_GN_FUSED"
+
+
+def use_pallas_gn(h: int, w: int, c: int, itemsize: int = 2) -> bool:
+    """Should the fused kernel handle a (b, h, w, c) GroupNorm?
+
+    Default NO on hardware — measured slower than XLA at every flagship
+    shape (see module docstring). `MINIMAGEN_TPU_GN_FUSED=1` forces it on;
+    interpret mode keeps the kernel under test on CPU."""
+    del itemsize
+    fits = (h * w * c * 4) <= _FWD_SLAB_BUDGET
+    env = os.environ.get(_GN_ENV)
+    if env is not None:
+        return env not in ("0", "") and pallas_enabled() and fits
+    return _interpret() and fits
+
+
+def _group_onehot(c: int, groups: int) -> jnp.ndarray:
+    """(C, G) one-hot: column g marks the channels of group g (constant)."""
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    return (ch // (c // groups) == gr).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------- #
+# forward                                                                     #
+# --------------------------------------------------------------------------- #
+def _fwd_kernel(x_ref, gamma_ref, beta_ref, ss_s_ref, ss_t_ref,
+                o_ref, mean_ref, rstd_ref, *, groups: int, eps: float, silu: bool):
+    h, w, c = x_ref.shape[1:]
+    hw = h * w
+    G = _group_onehot(c, groups)
+    n = jnp.float32(hw * (c // groups))
+
+    x = x_ref[0].astype(jnp.float32).reshape(hw, c)
+    s1 = jnp.sum(x, axis=0, keepdims=True)                       # (1, C)
+    gmean = jnp.dot(s1, G, preferred_element_type=jnp.float32) / n  # (1, G)
+    mean_c = jnp.dot(gmean, G.T, preferred_element_type=jnp.float32)
+    xc = x - mean_c
+    s2 = jnp.sum(xc * xc, axis=0, keepdims=True)
+    gvar = jnp.dot(s2, G, preferred_element_type=jnp.float32) / n
+    grstd = jax.lax.rsqrt(gvar + eps)                            # (1, G)
+    rstd_c = jnp.dot(grstd, G.T, preferred_element_type=jnp.float32)
+
+    y = xc * rstd_c * gamma_ref[0] + beta_ref[0]
+    y = y * (ss_s_ref[0] + 1.0) + ss_t_ref[0]
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.reshape(h, w, c).astype(o_ref.dtype)
+    mean_ref[0] = gmean
+    rstd_ref[0] = grstd
+
+
+# Per-sample (1, c) vectors ride as (b, 1, c) arrays with (1, 1, c) blocks:
+# Mosaic requires the last two block dims to either divide (8, 128) or equal
+# the array dims, which a (1, c) block over a (b, c) array violates.
+def _pallas_forward(x, gamma, beta, ss_s, ss_t, groups, eps, silu):
+    b, h, w, c = x.shape
+    kernel = partial(_fwd_kernel, groups=groups, eps=eps, silu=silu)
+    vec = lambda bb: (bb, 0, 0)  # noqa: E731
+    y, mean, rstd = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda bb: (bb, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), vec, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, w, c), lambda bb: (bb, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, groups), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, groups), vec, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, groups), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, groups), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * w * c,
+            bytes_accessed=2 * b * h * w * c * x.dtype.itemsize,
+            transcendentals=b * h * w * c if silu else 0,
+        ),
+        interpret=_interpret(),
+    )(x, gamma.reshape(1, c), beta.reshape(1, c),
+      ss_s.reshape(b, 1, c), ss_t.reshape(b, 1, c))
+    return y, mean, rstd
+
+
+# --------------------------------------------------------------------------- #
+# backward                                                                    #
+# --------------------------------------------------------------------------- #
+def _bwd_kernel(x_ref, gamma_ref, beta_ref, ss_s_ref, ss_t_ref,
+                mean_ref, rstd_ref, g_ref,
+                dx_ref, dgamma_ref, dbeta_ref, dss_s_ref, dss_t_ref,
+                *, groups: int, silu: bool):
+    bb = pl.program_id(0)
+
+    @pl.when(bb == 0)
+    def _():
+        dgamma_ref[:] = jnp.zeros_like(dgamma_ref[:])
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref[:])
+
+    h, w, c = x_ref.shape[1:]
+    hw = h * w
+    G = _group_onehot(c, groups)
+    n = jnp.float32(hw * (c // groups))
+
+    x = x_ref[0].astype(jnp.float32).reshape(hw, c)
+    gamma = gamma_ref[0]
+    mean_c = jnp.dot(mean_ref[0], G.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd_ref[0], G.T, preferred_element_type=jnp.float32)
+    xhat = (x - mean_c) * rstd_c
+    y1 = xhat * gamma + beta_ref[0]
+    s1 = ss_s_ref[0] + 1.0
+    g = g_ref[0].astype(jnp.float32).reshape(hw, c)
+    if silu:
+        y2 = y1 * s1 + ss_t_ref[0]
+        sig = jax.nn.sigmoid(y2)
+        dy2 = g * (sig * (1.0 + y2 * (1.0 - sig)))
+    else:
+        dy2 = g
+    dss_t_ref[0] = jnp.sum(dy2, axis=0, keepdims=True)
+    dss_s_ref[0] = jnp.sum(dy2 * y1, axis=0, keepdims=True)
+    dy1 = dy2 * s1
+    dbeta_ref[:] += jnp.sum(dy1, axis=0, keepdims=True)
+    dgamma_ref[:] += jnp.sum(dy1 * xhat, axis=0, keepdims=True)
+    dxhat = dy1 * gamma
+    m1 = jnp.dot(jnp.sum(dxhat, axis=0, keepdims=True), G,
+                 preferred_element_type=jnp.float32) / n
+    m2 = jnp.dot(jnp.sum(dxhat * xhat, axis=0, keepdims=True), G,
+                 preferred_element_type=jnp.float32) / n
+    dx = rstd_c * (dxhat
+                   - jnp.dot(m1, G.T, preferred_element_type=jnp.float32)
+                   - xhat * jnp.dot(m2, G.T, preferred_element_type=jnp.float32))
+    dx_ref[0] = dx.reshape(h, w, c).astype(dx_ref.dtype)
+
+
+def _pallas_backward(x, gamma, beta, ss_s, ss_t, gmean, grstd, g, groups, silu):
+    b, h, w, c = x.shape
+    kernel = partial(_bwd_kernel, groups=groups, silu=silu)
+    vec = lambda bb: (bb, 0, 0)  # noqa: E731
+    const = lambda bb: (0, 0)  # noqa: E731
+    slab = pl.BlockSpec((1, h, w, c), lambda bb: (bb, 0, 0, 0), memory_space=pltpu.VMEM)
+    pvec = pl.BlockSpec((1, 1, c), vec, memory_space=pltpu.VMEM)
+    dx, dgamma, dbeta, dss_s, dss_t = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            slab,
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
+            pvec,
+            pvec,
+            pl.BlockSpec((1, 1, groups), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, groups), vec, memory_space=pltpu.VMEM),
+            slab,
+        ],
+        out_specs=(
+            slab,
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
+            pvec,
+            pvec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(x, gamma.reshape(1, c), beta.reshape(1, c),
+      ss_s.reshape(b, 1, c), ss_t.reshape(b, 1, c), gmean, grstd, g)
+    return dx, dgamma.reshape(c), dbeta.reshape(c), dss_s.reshape(b, c), dss_t.reshape(b, c)
+
+
+# --------------------------------------------------------------------------- #
+# custom-VJP wrapper + dispatch                                               #
+# --------------------------------------------------------------------------- #
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused(groups, eps, silu, x, gamma, beta, ss_s, ss_t):
+    y, _, _ = _pallas_forward(x, gamma, beta, ss_s, ss_t, groups, eps, silu)
+    return y
+
+
+def _fused_fwd(groups, eps, silu, x, gamma, beta, ss_s, ss_t):
+    y, gmean, grstd = _pallas_forward(x, gamma, beta, ss_s, ss_t, groups, eps, silu)
+    return y, (x, gamma, beta, ss_s, ss_t, gmean, grstd)
+
+
+def _fused_bwd(groups, eps, silu, res, g):
+    x, gamma, beta, ss_s, ss_t, gmean, grstd = res
+    b, h, w, c = x.shape
+    if (h * w * c * 4) <= _BWD_SLAB_BUDGET:
+        dx, dgamma, dbeta, dss_s, dss_t = _pallas_backward(
+            x, gamma, beta, ss_s, ss_t, gmean, grstd, g, groups, silu)
+        return dx, dgamma, dbeta, dss_s, dss_t
+    # XLA recompute fallback (same math, saved stats reused)
+    x32 = x.astype(jnp.float32)
+    gmean, grstd = gmean.reshape(b, groups), grstd.reshape(b, groups)
+    mean_c = jnp.einsum("bg,cg->bc", gmean, _group_onehot(c, groups))[:, None, None, :]
+    rstd_c = jnp.einsum("bg,cg->bc", grstd, _group_onehot(c, groups))[:, None, None, :]
+    xhat = (x32 - mean_c) * rstd_c
+    y1 = xhat * gamma + beta
+    s1 = (ss_s + 1.0)[:, None, None, :]
+    g32 = g.astype(jnp.float32)
+    if silu:
+        y2 = y1 * s1 + ss_t[:, None, None, :]
+        sig = jax.nn.sigmoid(y2)
+        dy2 = g32 * (sig * (1.0 + y2 * (1.0 - sig)))
+    else:
+        dy2 = g32
+    dss_t = jnp.sum(dy2, axis=(1, 2))
+    dss_s = jnp.sum(dy2 * y1, axis=(1, 2))
+    dy1 = dy2 * s1
+    dbeta = jnp.sum(dy1, axis=(0, 1, 2))
+    dgamma = jnp.sum(dy1 * xhat, axis=(0, 1, 2))
+    dxhat = dy1 * gamma
+    cpg = c // groups
+    grp = lambda t: t.reshape(b, h, w, groups, cpg)  # noqa: E731
+    m1 = jnp.mean(grp(dxhat), axis=(1, 2, 4), keepdims=True)
+    m2 = jnp.mean(grp(dxhat * xhat), axis=(1, 2, 4), keepdims=True)
+    dx = rstd_c * (dxhat - m1.reshape(b, 1, 1, groups).repeat(cpg, -1).reshape(b, 1, 1, c)
+                   - xhat * m2.reshape(b, 1, 1, groups).repeat(cpg, -1).reshape(b, 1, 1, c))
+    return dx.astype(x.dtype), dgamma, dbeta, dss_s, dss_t
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _xla_forward(x, gamma, beta, scale_shift, silu, groups, eps):
+    """Plain-XLA path, bit-identical to the pre-fusion module math
+    (models/layers.py GroupNorm + Block scale-shift + SiLU)."""
+    b, h, w, c = x.shape
+    xg = x.reshape(b, h, w, groups, c // groups).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(b, h, w, c).astype(x.dtype)
+    out = out * gamma.astype(x.dtype) + beta.astype(x.dtype)
+    if scale_shift is not None:
+        scale, shift = scale_shift
+        out = out * (scale + 1.0) + shift
+    return jax.nn.silu(out) if silu else out
+
+
+def group_norm_silu(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    *,
+    groups: int,
+    eps: float = 1e-5,
+    scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    silu: bool = False,
+) -> jnp.ndarray:
+    """GroupNorm + optional time scale-shift + optional SiLU, fused on TPU.
+
+    :param x: (b, h, w, c) activations (NHWC).
+    :param gamma: (c,) learned scale, float32.
+    :param beta: (c,) learned bias, float32.
+    :param scale_shift: optional ((b, 1, 1, c), (b, 1, 1, c)) time-conditioned
+        scale/shift, applied as ``y * (scale + 1) + shift`` after the affine
+        (reference layers.py:140-142).
+    :param silu: apply SiLU after the (scale-shifted) normalization.
+    """
+    b, h, w, c = x.shape
+    assert c % groups == 0, f"channels {c} not divisible into {groups} groups"
+    if not use_pallas_gn(h, w, c):
+        return _xla_forward(x, gamma, beta, scale_shift, silu, groups, eps)
+    if scale_shift is not None:
+        ss_s = scale_shift[0].reshape(b, c).astype(jnp.float32)
+        ss_t = scale_shift[1].reshape(b, c).astype(jnp.float32)
+    else:
+        ss_s = jnp.zeros((b, c), jnp.float32)
+        ss_t = jnp.zeros((b, c), jnp.float32)
+    return _fused(groups, eps, silu, x, gamma.astype(jnp.float32),
+                  beta.astype(jnp.float32), ss_s, ss_t)

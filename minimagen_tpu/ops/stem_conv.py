@@ -1,0 +1,275 @@
+"""TPU-friendly CrossEmbed stem convolution.
+
+The reference stem (/root/reference/minimagen/layers.py:254-305, used as
+`init_conv`, Unet.py:169) runs three parallel convs with kernels 3/7/15 over
+the 3(/6)-channel input image. XLA lowers each as a separate conv whose
+contraction is k*k*cin; with cin=3 the MXU runs at ~4% utilization and the
+stem costs ~460 us — ~8% of the flagship denoise step (BASELINE.md round-2
+profile) for ~0.3% of its FLOPs.
+
+This module rewrites the stem as ONE dense conv in two exact steps:
+
+1. **Kernel merging**: all three kernels are zero-embedded into a single
+   (15, 15, cin, dim_out) weight (a k-kernel conv with pad (k-1)/2 equals a
+   15x15 conv with pad 7 whose weight is centered), so the whole stem is one
+   convolution — one pass over the input instead of three.
+2. **Space-to-depth factor 2**: the stride-1 conv over (H, W, cin) becomes a
+   VALID conv over (H/2+7, W/2+7, 4*cin) with an (8, 8, 4*cin, 4*dim_out)
+   weight whose output phases are depth-to-spaced back to (H, W, dim_out).
+   The contraction grows from 3 to 8*8*12 = 768 and the MXU tiles it
+   efficiently (the MLPerf-ResNet "conv1 space-to-depth" trick, adapted to
+   stride 1 by merging the 2x2 output phases into the channel axis).
+
+Both steps are algebraically exact (verified to float tolerance in
+tests/test_stem_conv.py) and fully differentiable.
+
+Dispatch — measured IN CONTEXT on the flagship graphs (tools/profile_tpu.py,
+one v5e chip, 2026-08-16), not just in micro-benches, because chained-loop
+micro-timings mislead here (XLA slices dead channels out of feedback loops
+and re-layouts loop-carried small tensors):
+
+- FORWARD: the reference formulation stays (three parallel convs, ~480 us
+  in the denoise step). The space-to-depth im2col+matmul variant reaches
+  full MXU tiling but materializes a 50 MB patch tensor, measuring ~590 us
+  in context — the bandwidth erases the MXU win at inference batch sizes.
+- BACKWARD (weight gradients): custom VJP through an explicit
+  space-to-depth im2col + dot_general wgrad ((K2*K2*4cin) x (b*H*W/4) @
+  (b*H*W/4) x (4cout) — every dimension lane-aligned). XLA's native wgrad
+  for the reference convs contracts over batch (8 of 128 lanes, ~16x MXU
+  waste): 380+ us for the 15x15 scale alone vs ~45 us for the fused matmul.
+- dx rides the reference formulation and is kept separable so it dead-code
+  eliminates when the stem is the first layer (x is data, not a
+  differentiated input — the usual case).
+
+`MINIMAGEN_TPU_STEM_FUSED=0/1` overrides the TPU-only stride-1 dispatch.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import pallas_enabled
+
+_FUSED_ENV = "MINIMAGEN_TPU_STEM_FUSED"
+
+
+def use_fused_stem(stride: int, h: int, w: int) -> bool:
+    env = os.environ.get(_FUSED_ENV)
+    if env is not None:
+        return env not in ("0", "")
+    return pallas_enabled() and stride == 1 and h % 2 == 0 and w % 2 == 0
+
+
+def merge_cross_embed_kernels(
+    kernels: Sequence[jnp.ndarray],
+) -> jnp.ndarray:
+    """Zero-embed per-scale conv kernels into one (K, K, cin, sum(cout)).
+
+    ``kernels``: list of (k_i, k_i, cin, cout_i), odd k_i, sorted or not.
+    A k conv with SAME-style pad (k-1)//2 equals a K conv with pad (K-1)//2
+    whose weight is centered at offset (K-k)//2.
+    """
+    K = max(k.shape[0] for k in kernels)
+    cin = kernels[0].shape[2]
+    parts = []
+    for kern in kernels:
+        k = kern.shape[0]
+        off = (K - k) // 2
+        parts.append(jnp.pad(kern, ((off, K - k - off), (off, K - k - off), (0, 0), (0, 0))))
+    return jnp.concatenate(parts, axis=-1)  # (K, K, cin, sum(cout))
+
+
+def _space_to_depth_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """Transform (K, K, cin, cout), odd K, into the equivalent space-to-depth-2
+    weight (K2, K2, 4*cin, 4*cout) with K2 = K//2 + 1 (dy = 2a + qy - py with
+    py, qy in {0,1} spans a in [0, K//2]).
+
+    Derivation: with pad P = (K-1)//2 and xp the padded input,
+      out(2Y'+py, 2X'+px, co) = sum_{dy,dx,ci} xp(2Y'+py+dy, 2X'+px+dx, ci) W(dy,dx,ci,co).
+    Substituting 2Y'+py+dy = 2(Y'+a)+qy gives dy = 2a+qy-py, so the phase-
+    (py,px) output is a VALID conv of X2(Y,X,(qy,qx,ci)) = xp(2Y+qy, 2X+qx, ci)
+    with weight W2[a,b,(qy,qx,ci),co] = W(2a+qy-py, 2b+qx-px, ci, co)
+    (zero when the index leaves [0, K)). The four phases stack on cout in
+    (py, px) order, matching the caller's depth-to-space.
+    """
+    K, _, cin, cout = w.shape
+    K2 = K // 2 + 1
+    # pad so every out-of-range index maps (mod K+2) into the zero margin
+    wp = jnp.pad(w, ((0, 2), (0, 2), (0, 0), (0, 0)))  # (K+2, K+2, cin, cout)
+    a = jnp.arange(K2)
+    q = jnp.arange(2)
+    phases = []
+    for py in (0, 1):
+        iy = (2 * a[:, None] + q[None, :] - py) % (K + 2)  # (K2, 2)
+        ty = wp[iy]  # (K2, 2, K+2, cin, cout)
+        for px in (0, 1):
+            ix = (2 * a[:, None] + q[None, :] - px) % (K + 2)
+            t = ty[:, :, ix]  # (K2, 2(qy), K2, 2(qx), cin, cout)
+            t = t.transpose(0, 2, 1, 3, 4, 5).reshape(K2, K2, 4 * cin, cout)
+            phases.append(t)
+    return jnp.concatenate(phases, axis=-1)  # (K2, K2, 4cin, 4cout)
+
+
+def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(b, H, W, c) -> (b, H/2, W/2, 4c) with channel order (qy, qx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """(b, H', W', 4c) with channel order (py, px, c) -> (b, 2H', 2W', c)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def _s2d_patches(x: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Pad + space-to-depth + im2col for a K x K (odd) stride-1 conv.
+
+    Returns (b, H/2, W/2, K2*K2*4cin) patches whose channel order matches
+    `_space_to_depth_weight`'s (a, b, (qy, qx, ci)) layout.
+    """
+    K2, pad = K // 2 + 1, (K - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    x2 = _space_to_depth(xp)
+    h2, w2 = x2.shape[1] - K2 + 1, x2.shape[2] - K2 + 1
+    return jnp.concatenate(
+        [x2[:, a:a + h2, b:b + w2, :] for a in range(K2) for b in range(K2)],
+        axis=-1)
+
+
+def cross_embed_fused(
+    x: jnp.ndarray,
+    kernels: Sequence[jnp.ndarray],
+    biases: Sequence[Optional[jnp.ndarray]],
+    dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """Fused stride-1 CrossEmbed stem: space-to-depth im2col + one matmul.
+
+    The contraction (K2*K2*4cin = 768 for the 15/7/3 stem) and the output
+    width (4*dim_out) are both lane-aligned, so the MXU runs dense — XLA's
+    conv lowering pads cin to the lane width instead (~4% utilization).
+
+    :param x: (b, H, W, cin), H and W even.
+    :param kernels: per-scale (k, k, cin, cout_i) conv weights.
+    :param biases: per-scale (cout_i,) biases (or None).
+    """
+    w = merge_cross_embed_kernels([k.astype(dtype) for k in kernels])
+    K = w.shape[0]
+    w2 = _space_to_depth_weight(w)  # (K2, K2, 4cin, 4cout)
+    patches = _s2d_patches(x.astype(dtype), K)
+    b, h2, w2c, _ = patches.shape
+    out2 = jnp.dot(patches.reshape(b * h2 * w2c, -1),
+                   w2.reshape(-1, w2.shape[-1]))
+    out = _depth_to_space(out2.reshape(b, h2, w2c, -1)).astype(dtype)
+    bias_parts = [
+        bb if bb is not None else jnp.zeros(k.shape[-1], dtype)
+        for bb, k in zip(biases, kernels)
+    ]
+    return out + jnp.concatenate(bias_parts).astype(dtype)
+
+
+def cross_embed_reference(
+    x: jnp.ndarray,
+    kernels: Sequence[jnp.ndarray],
+    biases: Sequence[Optional[jnp.ndarray]],
+    stride: int,
+    dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """Reference formulation: parallel convs, concatenated on channels
+    (bit-identical to the nn.Conv stack it replaces)."""
+    fmaps = []
+    x = x.astype(dtype)
+    for kern, bias in zip(kernels, biases):
+        k = kern.shape[0]
+        pad = (k - stride) // 2
+        y = jax.lax.conv_general_dilated(
+            x, kern.astype(dtype), window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        fmaps.append(y)
+    return jnp.concatenate(fmaps, axis=-1)
+
+
+def _stem_vjp_fns(dtype):
+    """custom_vjp pair: reference math forward, patches-matmul weight grads
+    (see the module docstring for the measured dispatch rationale)."""
+
+    @jax.custom_vjp
+    def stem(x, kernels, biases):
+        # forward: reference formulation. Measured IN CONTEXT (flagship
+        # denoise step, tools/profile_tpu.py): the parallel convs cost
+        # ~480 us/step, the space-to-depth im2col+matmul ~590 us (the 50 MB
+        # patch materialization erases the MXU win at inference batch size).
+        return cross_embed_reference(x, kernels, biases, 1, dtype)
+
+    def stem_fwd(x, kernels, biases):
+        return stem(x, kernels, biases), (x, kernels, biases)
+
+    def stem_bwd(res, g):
+        x, kernels, biases = res
+        g16 = g.astype(dtype)
+
+        # --- weight grads: patches-matmul wgrad in the space-to-depth domain.
+        # XLA's native wgrad lowering for this conv contracts over the batch
+        # axis (8 lanes of 128 used -> ~16x MXU waste, measured ~1.4 ms at
+        # base 64px). An explicit im2col + dot_general is a perfect MXU shape
+        # ((K2*K2*4cin, b*H2*W2) @ (b*H2*W2, 4cout), measured ~10x faster).
+        K = max(k.shape[0] for k in kernels)
+        K2 = K // 2 + 1
+        patches = _s2d_patches(x.astype(dtype), K)    # (b, H2, W2, K2*K2*4cin)
+        g2 = _space_to_depth(g16)                     # (b, H2, W2, 4cout)
+        dw2 = jax.lax.dot_general(
+            patches.reshape(-1, patches.shape[-1]), g2.reshape(-1, g2.shape[-1]),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(K2, K2, 4 * x.shape[-1], g2.shape[-1])
+
+        def to_w2(ks):
+            w = merge_cross_embed_kernels([k.astype(dtype) for k in ks])
+            return _space_to_depth_weight(w)
+
+        (dk,) = jax.linear_transpose(to_w2, list(kernels))(dw2.astype(dtype))
+
+        # --- bias grads: plain channel sums, split per scale
+        db_full = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+        db, off = [], 0
+        for kern, bias in zip(kernels, biases):
+            cout = kern.shape[-1]
+            db.append(None if bias is None else db_full[off:off + cout].astype(bias.dtype))
+            off += cout
+
+        # --- dx through the reference formulation, kept SEPARABLE so that
+        # when the stem is the first layer (x is data, not a differentiated
+        # input) the whole dgrad is DCE'd instead of riding along.
+        def fwd_x(xi):
+            return cross_embed_reference(xi, kernels, [None] * len(kernels), 1, dtype)
+
+        (dx,) = jax.linear_transpose(
+            fwd_x, jax.ShapeDtypeStruct(x.shape, x.dtype))(g16)
+        return dx, dk, db
+
+    stem.defvjp(stem_fwd, stem_bwd)
+    return stem
+
+
+def cross_embed_conv(
+    x: jnp.ndarray,
+    kernels: List[jnp.ndarray],
+    biases: List[Optional[jnp.ndarray]],
+    *,
+    stride: int,
+    dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """Dispatching CrossEmbed stem (see module docstring)."""
+    if use_fused_stem(stride, x.shape[1], x.shape[2]):
+        return _stem_vjp_fns(dtype)(x, list(kernels), list(biases))
+    return cross_embed_reference(x, kernels, biases, stride, dtype)

@@ -1,0 +1,126 @@
+"""Fused CrossEmbed stem (kernel merging + space-to-depth) vs the reference
+parallel-convs formulation — exact to float tolerance, fwd and grad."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from minimagen_tpu.ops import stem_conv as sc
+
+
+def _weights(kernel_sizes, cin, dim_out, seed=0):
+    ks = sorted(kernel_sizes)
+    dim_scales = [int(dim_out / (2**i)) for i in range(1, len(ks))]
+    dim_scales = [*dim_scales, dim_out - sum(dim_scales)]
+    rng = np.random.default_rng(seed)
+    kernels = [jnp.asarray(rng.normal(size=(k, k, cin, d)) * 0.1, jnp.float32)
+               for k, d in zip(ks, dim_scales)]
+    biases = [jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32) for d in dim_scales]
+    return kernels, biases
+
+
+@pytest.mark.parametrize("cin", [3, 6])
+@pytest.mark.parametrize("hw", [16, 64])
+def test_fused_matches_reference(cin, hw):
+    kernels, biases = _weights((3, 7, 15), cin, 32)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, hw, hw, cin)), jnp.float32)
+    ref = sc.cross_embed_reference(x, kernels, biases, stride=1, dtype=jnp.float32)
+    out = sc.cross_embed_fused(x, kernels, biases, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_matches_reference_single_kernel():
+    kernels, biases = _weights((7,), 3, 16, seed=2)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 32, 32, 3)), jnp.float32)
+    ref = sc.cross_embed_reference(x, kernels, biases, stride=1, dtype=jnp.float32)
+    out = sc.cross_embed_fused(x, kernels, biases, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_gradients_match_reference():
+    kernels, biases = _weights((3, 7, 15), 3, 32, seed=4)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 16, 16, 3)), jnp.float32)
+
+    def loss_fused(x, kernels, biases):
+        return jnp.sum(sc.cross_embed_fused(x, kernels, biases, dtype=jnp.float32) ** 2)
+
+    def loss_ref(x, kernels, biases):
+        return jnp.sum(sc.cross_embed_reference(x, kernels, biases, 1, jnp.float32) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, kernels, biases)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, kernels, biases)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_dispatch_custom_vjp_gradients(monkeypatch):
+    """cross_embed_conv's dispatched path (fwd=reference, bwd=fused VJP)
+    produces the same gradients as plain autodiff through the reference."""
+    monkeypatch.setenv("MINIMAGEN_TPU_STEM_FUSED", "1")
+    kernels, biases = _weights((3, 7, 15), 3, 32, seed=11)
+    x = jnp.asarray(np.random.default_rng(12).normal(size=(2, 16, 16, 3)), jnp.float32)
+
+    def loss_disp(x, kernels, biases):
+        y = sc.cross_embed_conv(x, kernels, biases, stride=1, dtype=jnp.float32)
+        return jnp.sum(y ** 2)
+
+    def loss_ref(x, kernels, biases):
+        return jnp.sum(sc.cross_embed_reference(x, kernels, biases, 1, jnp.float32) ** 2)
+
+    out_d = loss_disp(x, kernels, biases)
+    out_r = loss_ref(x, kernels, biases)
+    np.testing.assert_allclose(float(out_d), float(out_r), rtol=1e-6)
+    gd = jax.grad(loss_disp, argnums=(0, 1, 2))(x, kernels, biases)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, kernels, biases)
+    for a, b in zip(jax.tree_util.tree_leaves(gd), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4)
+
+
+def test_module_dispatch_env_override(monkeypatch):
+    """CrossEmbedLayer output identical with the fused path forced on vs off,
+    and the param tree keeps nn.Conv's layout (conv_i/{kernel,bias})."""
+    from minimagen_tpu.models.layers import CrossEmbedLayer
+
+    layer = CrossEmbedLayer(dim_in=3, kernel_sizes=(3, 7, 15), dim_out=32, stride=1)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(2, 16, 16, 3)), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+
+    tree = jax.tree_util.tree_map(lambda a: a.shape, params)["params"]
+    assert set(tree.keys()) == {"conv_0", "conv_1", "conv_2"}
+    assert tree["conv_0"]["kernel"] == (3, 3, 3, 16)
+    assert tree["conv_2"]["kernel"] == (15, 15, 3, 8)
+    assert tree["conv_1"]["bias"] == (8,)
+
+    monkeypatch.setenv("MINIMAGEN_TPU_STEM_FUSED", "0")
+    out_ref = layer.apply(params, x)
+    monkeypatch.setenv("MINIMAGEN_TPU_STEM_FUSED", "1")
+    out_fused = layer.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_stride2_keeps_reference_path(monkeypatch):
+    """Stride-2 cross-embeds (downsample option) always run the reference
+    formulation, whatever the env says."""
+    assert not sc.use_fused_stem(2, 16, 16)
+    monkeypatch.setenv("MINIMAGEN_TPU_STEM_FUSED", "1")
+    # env forces fused for stride 1 only at the dispatcher level; the module
+    # asserts parity separately — here just exercise stride-2 reference math
+    from minimagen_tpu.models.layers import CrossEmbedLayer
+
+    layer = CrossEmbedLayer(dim_in=4, kernel_sizes=(2, 4), dim_out=16, stride=2)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(1, 16, 16, 4)), jnp.float32)
+    monkeypatch.setenv("MINIMAGEN_TPU_STEM_FUSED", "0")
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+    assert out.shape == (1, 8, 8, 16)
+
+
+def test_bf16_fused():
+    kernels, biases = _weights((3, 7, 15), 3, 32, seed=8)
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(2, 16, 16, 3)), jnp.bfloat16)
+    ref = sc.cross_embed_reference(x, kernels, biases, stride=1, dtype=jnp.bfloat16)
+    out = sc.cross_embed_fused(x, kernels, biases, dtype=jnp.bfloat16)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
+                               atol=0.15, rtol=0.1)
