@@ -82,50 +82,56 @@ def merge_cross_embed_kernels(
     return jnp.concatenate(parts, axis=-1)  # (K, K, cin, sum(cout))
 
 
-def _space_to_depth_weight(w: jnp.ndarray) -> jnp.ndarray:
-    """Transform (K, K, cin, cout), odd K, into the equivalent space-to-depth-2
-    weight (K2, K2, 4*cin, 4*cout) with K2 = K//2 + 1 (dy = 2a + qy - py with
-    py, qy in {0,1} spans a in [0, K//2]).
+def _s2d_kernel_size(K: int, f: int) -> int:
+    """Spatial size of the factor-``f`` space-to-depth weight for an odd-K
+    stride-1 conv: dy = f*a + q - p with q, p in [0, f) must cover [0, K)."""
+    return (K + f - 2) // f + 1
+
+
+def _space_to_depth_weight(w: jnp.ndarray, f: int = 2) -> jnp.ndarray:
+    """Transform (K, K, cin, cout), odd K, into the equivalent space-to-depth
+    factor-``f`` weight (Kf, Kf, f*f*cin, f*f*cout), Kf = (K+f-2)//f + 1.
 
     Derivation: with pad P = (K-1)//2 and xp the padded input,
-      out(2Y'+py, 2X'+px, co) = sum_{dy,dx,ci} xp(2Y'+py+dy, 2X'+px+dx, ci) W(dy,dx,ci,co).
-    Substituting 2Y'+py+dy = 2(Y'+a)+qy gives dy = 2a+qy-py, so the phase-
-    (py,px) output is a VALID conv of X2(Y,X,(qy,qx,ci)) = xp(2Y+qy, 2X+qx, ci)
-    with weight W2[a,b,(qy,qx,ci),co] = W(2a+qy-py, 2b+qx-px, ci, co)
-    (zero when the index leaves [0, K)). The four phases stack on cout in
+      out(fY'+py, fX'+px, co) = sum_{dy,dx,ci} xp(fY'+py+dy, fX'+px+dx, ci) W(dy,dx,ci,co).
+    Substituting fY'+py+dy = f(Y'+a)+qy gives dy = f*a+qy-py, so the phase-
+    (py,px) output is a VALID conv of Xf(Y,X,(qy,qx,ci)) = xp(fY+qy, fX+qx, ci)
+    with weight Wf[a,b,(qy,qx,ci),co] = W(f*a+qy-py, f*b+qx-px, ci, co)
+    (zero when the index leaves [0, K)). The f*f phases stack on cout in
     (py, px) order, matching the caller's depth-to-space.
     """
     K, _, cin, cout = w.shape
-    K2 = K // 2 + 1
-    # pad so every out-of-range index maps (mod K+2) into the zero margin
-    wp = jnp.pad(w, ((0, 2), (0, 2), (0, 0), (0, 0)))  # (K+2, K+2, cin, cout)
-    a = jnp.arange(K2)
-    q = jnp.arange(2)
+    Kf = _s2d_kernel_size(K, f)
+    a = jnp.arange(Kf)
+    q = jnp.arange(f)
     phases = []
-    for py in (0, 1):
-        iy = (2 * a[:, None] + q[None, :] - py) % (K + 2)  # (K2, 2)
-        ty = wp[iy]  # (K2, 2, K+2, cin, cout)
-        for px in (0, 1):
-            ix = (2 * a[:, None] + q[None, :] - px) % (K + 2)
-            t = ty[:, :, ix]  # (K2, 2(qy), K2, 2(qx), cin, cout)
-            t = t.transpose(0, 2, 1, 3, 4, 5).reshape(K2, K2, 4 * cin, cout)
+    for py in range(f):
+        iy = f * a[:, None] + q[None, :] - py  # (Kf, f)
+        my = ((iy >= 0) & (iy < K)).astype(w.dtype)
+        ty = w[jnp.clip(iy, 0, K - 1)] * my[..., None, None, None]  # (Kf, f, K, cin, cout)
+        for px in range(f):
+            ix = f * a[:, None] + q[None, :] - px
+            mx = ((ix >= 0) & (ix < K)).astype(w.dtype)
+            t = ty[:, :, jnp.clip(ix, 0, K - 1)] * mx[None, None, :, :, None, None]
+            # (Kf, f(qy), Kf, f(qx), cin, cout) -> (Kf, Kf, f*f*cin, cout)
+            t = t.transpose(0, 2, 1, 3, 4, 5).reshape(Kf, Kf, f * f * cin, cout)
             phases.append(t)
-    return jnp.concatenate(phases, axis=-1)  # (K2, K2, 4cin, 4cout)
+    return jnp.concatenate(phases, axis=-1)  # (Kf, Kf, f*f*cin, f*f*cout)
 
 
-def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
-    """(b, H, W, c) -> (b, H/2, W/2, 4c) with channel order (qy, qx, c)."""
+def _space_to_depth(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
+    """(b, H, W, c) -> (b, H/f, W/f, f*f*c) with channel order (qy, qx, c)."""
     b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // f, w // f, f * f * c)
 
 
-def _depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
-    """(b, H', W', 4c) with channel order (py, px, c) -> (b, 2H', 2W', c)."""
-    b, h, w, c4 = x.shape
-    c = c4 // 4
-    x = x.reshape(b, h, w, 2, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+def _depth_to_space(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
+    """(b, H', W', f*f*c) with channel order (py, px, c) -> (b, fH', fW', c)."""
+    b, h, w, cf = x.shape
+    c = cf // (f * f)
+    x = x.reshape(b, h, w, f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, f * h, f * w, c)
 
 
 def _s2d_patches(x: jnp.ndarray, K: int) -> jnp.ndarray:
@@ -174,6 +180,57 @@ def cross_embed_fused(
     return out + jnp.concatenate(bias_parts).astype(dtype)
 
 
+def cross_embed_s2d_conv(
+    x: jnp.ndarray,
+    kernels: Sequence[jnp.ndarray],
+    biases: Sequence[Optional[jnp.ndarray]],
+    f: int,
+    dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """Exact stride-1 CrossEmbed stem as ONE dense space-to-depth-``f`` conv.
+
+    Unlike `cross_embed_fused` (explicit im2col + matmul, whose 50 MB patch
+    tensor measured slower in context), this keeps the conv a conv: the input
+    is space-to-depth'd by ``f`` (cin 3/6 -> 48/96 channels, filling the
+    128-lane contraction XLA pads today) and the merged 15x15 weight becomes
+    an equivalent (Kf, Kf, f*f*cin, f*f*cout) VALID conv — nothing larger
+    than the output is ever materialized.
+    """
+    w = merge_cross_embed_kernels([k.astype(dtype) for k in kernels])
+    K = w.shape[0]
+    P = (K - 1) // 2
+    wf = _space_to_depth_weight(w, f)
+    b, h, ww, cin = x.shape
+    eh = (-(h + 2 * P)) % f
+    ew = (-(ww + 2 * P)) % f
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (P, P + eh), (P, P + ew), (0, 0)))
+    x2 = _space_to_depth(xp, f)
+    y2 = jax.lax.conv_general_dilated(
+        x2, wf.astype(dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # the trailing eh/ew zero-pad rows only feed windows past the real image
+    y2 = y2[:, : h // f, : ww // f, :]
+    out = _depth_to_space(y2, f)
+    bias_parts = [
+        bb if bb is not None else jnp.zeros(k.shape[-1], dtype)
+        for bb, k in zip(biases, kernels)
+    ]
+    return out + jnp.concatenate(bias_parts).astype(dtype)
+
+
+_S2D_ENV = "MINIMAGEN_TPU_STEM_S2D"
+
+
+def _stem_forward(x, kernels, biases, dtype):
+    """Forward formulation dispatch: `MINIMAGEN_TPU_STEM_S2D={2,4,8}` selects
+    the dense space-to-depth conv; default is the reference parallel convs
+    (measured story in the module docstring)."""
+    env = os.environ.get(_S2D_ENV, "")
+    if env in ("2", "4", "8"):
+        return cross_embed_s2d_conv(x, kernels, biases, int(env), dtype)
+    return cross_embed_reference(x, kernels, biases, 1, dtype)
+
+
 def cross_embed_reference(
     x: jnp.ndarray,
     kernels: Sequence[jnp.ndarray],
@@ -205,11 +262,12 @@ def _stem_vjp_fns(dtype):
 
     @jax.custom_vjp
     def stem(x, kernels, biases):
-        # forward: reference formulation. Measured IN CONTEXT (flagship
-        # denoise step, tools/profile_tpu.py): the parallel convs cost
-        # ~480 us/step, the space-to-depth im2col+matmul ~590 us (the 50 MB
-        # patch materialization erases the MXU win at inference batch size).
-        return cross_embed_reference(x, kernels, biases, 1, dtype)
+        # forward: reference formulation by default. Measured IN CONTEXT
+        # (flagship denoise step, tools/profile_tpu.py): the parallel convs
+        # cost ~480 us/step, the space-to-depth im2col+matmul ~590 us (the
+        # 50 MB patch materialization erases the MXU win at inference batch
+        # size). MINIMAGEN_TPU_STEM_S2D={2,4,8} flips to the dense s2d conv.
+        return _stem_forward(x, kernels, biases, dtype)
 
     def stem_fwd(x, kernels, biases):
         return stem(x, kernels, biases), (x, kernels, biases)

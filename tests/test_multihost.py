@@ -52,7 +52,9 @@ def test_two_process_distributed_train_step(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=300)
+            # generous: this sandbox has ONE core — under the full suite the
+            # two workers + pytest all contend for it (alone: ~230 s total)
+            stdout, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -124,3 +124,26 @@ def test_bf16_fused():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
                                atol=0.15, rtol=0.1)
+
+
+@pytest.mark.parametrize("f", [2, 4, 8])
+@pytest.mark.parametrize("cin,hw", [(3, 16), (6, 64)])
+def test_s2d_conv_matches_reference(f, cin, hw):
+    kernels, biases = _weights((3, 7, 15), cin, 32)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, hw, hw, cin)), jnp.float32)
+    ref = sc.cross_embed_reference(x, kernels, biases, stride=1, dtype=jnp.float32)
+    out = sc.cross_embed_s2d_conv(x, kernels, biases, f, dtype=jnp.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_s2d_env_selects_forward(monkeypatch):
+    kernels, biases = _weights((3, 7, 15), 3, 32)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(1, 32, 32, 3)), jnp.float32)
+    ref = sc.cross_embed_reference(x, kernels, biases, stride=1, dtype=jnp.float32)
+    monkeypatch.setenv(sc._S2D_ENV, "4")
+    out = sc._stem_forward(x, kernels, biases, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    # the custom-VJP stem must produce the same forward under the env too
+    vjp_out = sc._stem_vjp_fns(jnp.float32)(x, list(kernels), list(biases))
+    np.testing.assert_allclose(np.asarray(vjp_out), np.asarray(ref), atol=1e-5, rtol=1e-5)
