@@ -393,6 +393,44 @@ class Imagen:
             )
         return self._jit_cache[cache_key]
 
+    def stage_memory_analysis(self, stage: int, *, batch_size: int = 1,
+                              text_len: int = 64, cond_scale: float = 3.0,
+                              sampler: str = "ddim",
+                              sample_steps: Optional[int] = None,
+                              params: Optional[Dict[str, Any]] = None):
+        """Compile-time HBM accounting of one stage's full sampling pass.
+
+        XLA's AOT `memory_analysis` reports argument/output/temp bytes for
+        the compiled stage — the temp figure IS the activation peak, which
+        matters for the 1024px stretch cascade. Runtime `memory_stats()` is
+        unavailable through this sandbox's axon backend, so the compiler's
+        static analysis is the observability path. Returns a dict of byte
+        counts (empty if the backend does not support the query).
+        """
+        params = params if params is not None else self.params
+        guided = cond_scale != 1.0
+        embeds = jnp.zeros((batch_size, text_len, self.text_embed_dim), jnp.float32)
+        masks = jnp.ones((batch_size, text_len), jnp.bool_)
+        lowres_cond_img = lowres_noise_times = None
+        if self.unet_configs[stage].lowres_cond:
+            size = self.image_sizes[stage]
+            lowres_cond_img = jnp.zeros(
+                (batch_size, size, size, self.sample_channels[stage]), jnp.float32)
+            lowres_noise_times = self.lowres_noise_schedule.get_times(
+                batch_size, self.lowres_sample_noise_level)
+        fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps, False)
+        lowered = fn.lower(params[f"unet_{stage}"], jax.random.PRNGKey(0),
+                           embeds, masks, jnp.float32(cond_scale),
+                           lowres_cond_img, lowres_noise_times)
+        try:
+            ma = lowered.compile().memory_analysis()
+            fields = ("argument_size_in_bytes", "output_size_in_bytes",
+                      "temp_size_in_bytes", "alias_size_in_bytes",
+                      "generated_code_size_in_bytes")
+            return {f: int(getattr(ma, f)) for f in fields if hasattr(ma, f)}
+        except Exception:  # backend without memory_analysis support
+            return {}
+
     def sample(
         self,
         texts: Optional[List[str]] = None,

@@ -40,3 +40,32 @@ def test_committed_api_docs_cover_generator_modules():
     train_doc = open(os.path.join(api_dir, "minimagen_tpu_training.md")).read()
     for sym in ["MinimagenTrain", "get_minimagen_parser", "load_restart_training_parameters"]:
         assert sym in train_doc
+
+
+def test_generator_emits_html(tmp_path):
+    """The HTML mirror (reference ships docs/build/html/) renders every
+    module page plus an index, with escaped content and working nav."""
+    import gen_api_docs
+
+    html = tmp_path / "html"
+    gen_api_docs.generate(str(tmp_path / "md"), str(html))
+    pages = {p for p in os.listdir(html)}
+    assert "index.html" in pages
+    assert len(pages) == len(gen_api_docs.MODULES) + 1
+    idx = (html / "index.html").read_text()
+    for m in gen_api_docs.MODULES:
+        assert m.replace(".", "_") + ".html" in idx
+    page = (html / "minimagen_tpu_models_imagen.html").read_text()
+    assert "<h1>" in page and "Imagen" in page
+    assert "<script" not in page  # static, no escaping holes for tags
+
+
+def test_committed_html_docs_exist():
+    html_dir = os.path.join(REPO, "docs", "build", "html")
+    assert os.path.isdir(html_dir), "docs/build/html is committed — regenerate"
+    import gen_api_docs
+
+    committed = set(os.listdir(html_dir))
+    expected = {m.replace(".", "_") + ".html" for m in gen_api_docs.MODULES}
+    assert not (expected - committed), f"regenerate html docs: {expected - committed}"
+    assert "index.html" in committed

@@ -101,6 +101,14 @@ def main():
                if k in stats}
     except Exception:
         pass
+    if not mem:  # axon hides memory_stats; use XLA's compile-time analysis
+        for s in range(3):
+            ma = imagen.stage_memory_analysis(
+                s, batch_size=args.batch, text_len=L, cond_scale=3.0,
+                sampler="ddim", sample_steps=args.steps)
+            if ma:
+                mem[f"stage{s}_temp_mb"] = round(ma.get("temp_size_in_bytes", 0) / 2**20, 1)
+                mem[f"stage{s}_args_mb"] = round(ma.get("argument_size_in_bytes", 0) / 2**20, 1)
 
     print(json.dumps({
         "metric": "cascade_64_256_1024_ddim%d_s_per_image" % args.steps,
