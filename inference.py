@@ -22,6 +22,10 @@ def main():
                         help="ddpm = reference-faithful full-T sampling; ddim = strided fast path")
     parser.add_argument("--SAMPLE_STEPS", dest="SAMPLE_STEPS", type=int, default=None,
                         help="Number of DDIM steps (default min(50, T))")
+    parser.add_argument("--CACHE_INTERVAL", dest="CACHE_INTERVAL", type=int, default=None,
+                        help="encoder-feature caching: recompute the U-Net down path "
+                             "every N-th sampler step and reuse it in between "
+                             "(Faster Diffusion; None/1 = off, exact numerics)")
     parser.add_argument("--SEED", dest="SEED", type=int, default=None,
                         help="PRNG seed for reproducible samples (default: fresh "
                              "entropy per run, like the reference)")
@@ -40,6 +44,8 @@ def main():
     sample_args = {"cond_scale": 3.0, "sampler": args.SAMPLER, "progress": True}
     if args.SAMPLE_STEPS is not None:
         sample_args["sample_steps"] = args.SAMPLE_STEPS
+    if args.CACHE_INTERVAL is not None:
+        sample_args["cache_interval"] = args.CACHE_INTERVAL
     if args.SEED is not None:
         import jax
         sample_args["key"] = jax.random.PRNGKey(args.SEED)

@@ -210,19 +210,24 @@ class Imagen:
     # guided forward (pair-batched CFG)                                   #
     # ------------------------------------------------------------------ #
     def _unet_forward(self, stage, unet_params, x, t, *, text_embeds, text_mask,
-                      lowres_cond_img, lowres_noise_times, text_keep_mask=None):
+                      lowres_cond_img, lowres_noise_times, text_keep_mask=None,
+                      encoder_cache=None, return_encoder_cache=False):
         return self.unets[stage].apply(
             {"params": unet_params}, x, t,
             text_embeds=text_embeds, text_mask=text_mask, text_keep_mask=text_keep_mask,
             lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
+            encoder_cache=encoder_cache, return_encoder_cache=return_encoder_cache,
         )
 
     def _cfg_forward(self, stage, unet_params, x, t, *, text_embeds, text_mask,
-                     lowres_cond_img, lowres_noise_times, cond_scale):
+                     lowres_cond_img, lowres_noise_times, cond_scale,
+                     encoder_cache=None, return_encoder_cache=False):
         """One pair-batched forward: rows [0:b] conditioned, [b:2b] null.
 
         Replaces the reference's two sequential forwards
-        (`forward_with_cond_scale`, Unet.py:474-506).
+        (`forward_with_cond_scale`, Unet.py:474-506). An `encoder_cache` is
+        already pair-batched (it came from this function) and passes through
+        un-duplicated.
         """
         b = x.shape[0]
         dup = lambda a: None if a is None else jnp.concatenate([a, a], axis=0)
@@ -234,9 +239,14 @@ class Imagen:
             text_embeds=dup(text_embeds), text_mask=dup(text_mask),
             lowres_cond_img=dup(lowres_cond_img), lowres_noise_times=dup(lowres_noise_times),
             text_keep_mask=keep,
+            encoder_cache=encoder_cache, return_encoder_cache=return_encoder_cache,
         )
+        cache = None
+        if return_encoder_cache:
+            out, cache = out
         logits, null_logits = out[:b], out[b:]
-        return null_logits + (logits - null_logits) * cond_scale
+        guided_out = null_logits + (logits - null_logits) * cond_scale
+        return (guided_out, cache) if return_encoder_cache else guided_out
 
     def forward_with_cond_scale(self, x, time, *, unet_number: int = 1,
                                 cond_scale: float = 1.0,
@@ -261,20 +271,20 @@ class Imagen:
     # sampling                                                            #
     # ------------------------------------------------------------------ #
     def _predict_x_start(self, stage, scheduler, unet_params, x, t, *, text_embeds, text_mask,
-                         lowres_cond_img, lowres_noise_times, cond_scale, guided: bool):
+                         lowres_cond_img, lowres_noise_times, cond_scale, guided: bool,
+                         encoder_cache=None, return_encoder_cache=False):
         """Predict noise with the U-Net (pair-batched CFG when guided),
         recover x0, and dynamic-threshold it (reference Imagen.py:298-323)."""
+        kw = dict(text_embeds=text_embeds, text_mask=text_mask,
+                  lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
+                  encoder_cache=encoder_cache, return_encoder_cache=return_encoder_cache)
         if guided:
-            pred = self._cfg_forward(
-                stage, unet_params, x, t, text_embeds=text_embeds, text_mask=text_mask,
-                lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
-                cond_scale=cond_scale,
-            )
+            pred = self._cfg_forward(stage, unet_params, x, t, cond_scale=cond_scale, **kw)
         else:
-            pred = self._unet_forward(
-                stage, unet_params, x, t, text_embeds=text_embeds, text_mask=text_mask,
-                lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
-            )
+            pred = self._unet_forward(stage, unet_params, x, t, **kw)
+        cache = None
+        if return_encoder_cache:
+            pred, cache = pred
 
         x_start = scheduler.predict_start_from_noise(x, t=t, noise=pred)
 
@@ -288,21 +298,29 @@ class Imagen:
         )
         s = jnp.clip(s, 1.0, None)
         s = right_pad_dims_to(x_start, s).astype(x_start.dtype)
-        return jnp.clip(x_start, -s, s) / s
+        x_start = jnp.clip(x_start, -s, s) / s
+        return (x_start, cache) if return_encoder_cache else x_start
 
     def _p_mean_variance(self, stage, scheduler, unet_params, x, t, *, text_embeds, text_mask,
-                         lowres_cond_img, lowres_noise_times, cond_scale, guided: bool):
+                         lowres_cond_img, lowres_noise_times, cond_scale, guided: bool,
+                         encoder_cache=None, return_encoder_cache=False):
         """Posterior parameters from the thresholded x0 prediction
         (reference Imagen.py:261-326)."""
         x_start = self._predict_x_start(
             stage, scheduler, unet_params, x, t, text_embeds=text_embeds, text_mask=text_mask,
             lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
             cond_scale=cond_scale, guided=guided,
+            encoder_cache=encoder_cache, return_encoder_cache=return_encoder_cache,
         )
-        return scheduler.q_posterior(x_start=x_start, x_t=x, t=t)
+        cache = None
+        if return_encoder_cache:
+            x_start, cache = x_start
+        post = scheduler.q_posterior(x_start=x_start, x_t=x, t=t)
+        return (*post, cache) if return_encoder_cache else post
 
     def _build_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
-                            sample_steps: Optional[int] = None, progress: bool = False):
+                            sample_steps: Optional[int] = None, progress: bool = False,
+                            cache_interval: Optional[int] = None):
         """A jittable full reverse-diffusion pass for one cascade stage.
 
         Returns fn(params, key, shape-bearing args...) -> [0,1] images.
@@ -312,10 +330,18 @@ class Imagen:
         :param sampler: 'ddpm' (reference-faithful ancestral sampling over all
             T steps) or 'ddim' (deterministic strided sampling over
             `sample_steps` steps — a TPU-era fast path beyond the reference).
+        :param cache_interval: encoder-feature caching across timesteps
+            ("Faster Diffusion", arXiv 2312.09608): the U-Net's stem+DOWN-path
+            features are recomputed only every `cache_interval`-th step and
+            reused in between (via `lax.cond` inside the scan — both step
+            variants compile once). None/1 = off (exact reference numerics;
+            1 is verified bit-identical in tests). 2-3 trades ~30-45% of
+            per-step FLOPs for slight drift on a well-trained model.
         """
         scheduler = self.noise_schedulers[stage]
         has_lowres = self.unet_configs[stage].lowres_cond
         assert sampler in ("ddpm", "ddim"), f"unknown sampler {sampler!r}"
+        caching = cache_interval is not None and cache_interval > 0
 
         def _tick(_):
             # per-timestep progress (reference tqdm on the sampling loop,
@@ -341,43 +367,76 @@ class Imagen:
             key, init_key = jax.random.split(key)
             img = default(init_noise, lambda: jax.random.normal(init_key, shape, jnp.float32))
 
-            def ddpm_step(carry, t_scalar):
-                img, key = carry
+            cond_kwargs = dict(
+                text_embeds=text_embeds, text_mask=text_mask,
+                lowres_cond_img=lowres, lowres_noise_times=lowres_noise_times,
+            )
+
+            def predict(img, t, encoder_cache, return_encoder_cache):
+                return self._predict_x_start(
+                    stage, scheduler, unet_params, img, t, **cond_kwargs,
+                    cond_scale=cond_scale, guided=guided,
+                    encoder_cache=encoder_cache,
+                    return_encoder_cache=return_encoder_cache,
+                )
+
+            def predict_cached(img, t, idx, cache):
+                """x0 prediction under encoder-feature caching: recompute the
+                DOWN path every `cache_interval`-th step, reuse otherwise."""
+                return jax.lax.cond(
+                    idx % cache_interval == 0,
+                    lambda a: predict(a[0], a[1], None, True),
+                    lambda a: (predict(a[0], a[1], a[2], False), a[2]),
+                    (img, t, cache),
+                )
+
+            zero_cache = None
+            if caching:
+                # zero-init carry with the exact cache structure/shapes
+                shapes = jax.eval_shape(
+                    lambda im: predict(im, jnp.zeros((b,), jnp.int32), None, True)[1],
+                    jax.ShapeDtypeStruct(shape, jnp.float32))
+                zero_cache = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+            def ddpm_step(carry, xs):
+                img, key, cache = carry
+                idx, t_scalar = xs
                 maybe_tick(t_scalar)
                 key, noise_key = jax.random.split(key)
                 t = jnp.full((b,), t_scalar, jnp.int32)
-                mean, _, log_var = self._p_mean_variance(
-                    stage, scheduler, unet_params, img, t,
-                    text_embeds=text_embeds, text_mask=text_mask,
-                    lowres_cond_img=lowres, lowres_noise_times=lowres_noise_times,
-                    cond_scale=cond_scale, guided=guided,
-                )
+                if caching:
+                    x0, cache = predict_cached(img, t, idx, cache)
+                else:
+                    x0 = predict(img, t, None, False)
+                mean, _, log_var = scheduler.q_posterior(x_start=x0, x_t=img, t=t)
                 noise = jax.random.normal(noise_key, img.shape, img.dtype)
                 nonzero = (t_scalar > 0).astype(img.dtype)  # no noise at t=0 (Imagen.py:363-365)
                 img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
-                return (img, key), None
+                return (img, key, cache), None
 
-            def ddim_step(carry, t_pair):
-                img, key = carry
+            def ddim_step(carry, xs):
+                img, key, cache = carry
+                idx, t_pair = xs
                 maybe_tick(t_pair[0])
                 t = jnp.full((b,), t_pair[0], jnp.int32)
                 t_prev = jnp.full((b,), t_pair[1], jnp.int32)
-                x0 = self._predict_x_start(
-                    stage, scheduler, unet_params, img, t,
-                    text_embeds=text_embeds, text_mask=text_mask,
-                    lowres_cond_img=lowres, lowres_noise_times=lowres_noise_times,
-                    cond_scale=cond_scale, guided=guided,
-                )
+                if caching:
+                    x0, cache = predict_cached(img, t, idx, cache)
+                else:
+                    x0 = predict(img, t, None, False)
                 img = scheduler.ddim_step(img, x0, t, t_prev)
-                return (img, key), None
+                return (img, key, cache), None
 
             if sampler == "ddpm":
                 times = scheduler.sampling_timesteps()  # (T,) descending
-                (img, _), _ = jax.lax.scan(ddpm_step, (img, key), times)
+                xs = (jnp.arange(times.shape[0]), times)
+                (img, _, _), _ = jax.lax.scan(ddpm_step, (img, key, zero_cache), xs)
             else:
                 steps = default(sample_steps, min(50, scheduler.num_timesteps))
                 pairs = jnp.asarray(scheduler.strided_sampling_timesteps(steps))
-                (img, _), _ = jax.lax.scan(ddim_step, (img, key), pairs)
+                xs = (jnp.arange(pairs.shape[0]), pairs)
+                (img, _, _), _ = jax.lax.scan(ddim_step, (img, key, zero_cache), xs)
 
             img = jnp.clip(img, -1.0, 1.0)
             return self.unnormalize_img(img)
@@ -385,11 +444,14 @@ class Imagen:
         return sample_fn
 
     def _jitted_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
-                             sample_steps: Optional[int] = None, progress: bool = False):
-        cache_key = ("sample", stage, guided, sampler, sample_steps, progress)
+                             sample_steps: Optional[int] = None, progress: bool = False,
+                             cache_interval: Optional[int] = None):
+        cache_key = ("sample", stage, guided, sampler, sample_steps, progress,
+                     cache_interval)
         if cache_key not in self._jit_cache:
             self._jit_cache[cache_key] = jax.jit(
-                self._build_sample_stage(stage, guided, sampler, sample_steps, progress)
+                self._build_sample_stage(stage, guided, sampler, sample_steps,
+                                         progress, cache_interval)
             )
         return self._jit_cache[cache_key]
 
@@ -447,6 +509,7 @@ class Imagen:
         sampler: str = "ddpm",
         sample_steps: Optional[int] = None,
         progress: bool = False,
+        cache_interval: Optional[int] = None,
         device=None,
     ):
         """Generate images for captions (reference Imagen.py:422-510).
@@ -459,6 +522,11 @@ class Imagen:
         :param key: PRNG key. Defaults to FRESH entropy per call (matching the
             reference's fresh `randn` every run, Imagen.py:381) — pass an
             explicit key for reproducible samples.
+        :param cache_interval: encoder-feature caching across sampler steps
+            ("Faster Diffusion", arXiv 2312.09608): recompute the U-Net
+            DOWN path only every N-th step, reuse in between. None/1 = off
+            (exact numerics); 2-3 ≈ 30-45% fewer sampling FLOPs with slight
+            drift on a trained model.
         :param progress: show a per-timestep progress bar (reference tqdm,
             Imagen.py:404), emitted from inside the compiled scan via
             `jax.debug.callback`.
@@ -514,7 +582,8 @@ class Imagen:
                     noise=jax.random.normal(aug_key, lowres_cond_img.shape, lowres_cond_img.dtype),
                 )
 
-            sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps, progress)
+            sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps,
+                                                  progress, cache_interval)
             if progress:
                 from ..utils.progress import ProgressBar  # noqa: PLC0415
                 T = self.noise_schedulers[stage].num_timesteps
@@ -557,6 +626,7 @@ class Imagen:
         key: Optional[jax.Array] = None,
         sampler: str = "ddim",
         sample_steps: Optional[int] = None,
+        cache_interval: Optional[int] = None,
     ):
         """Upscale EXISTING images through one super-res stage (a TPU-era
         capability beyond the reference, which can only run the full cascade
@@ -598,7 +668,8 @@ class Imagen:
             x_start=lowres_cond_img, t=lowres_noise_times,
             noise=jax.random.normal(aug_key, lowres_cond_img.shape, lowres_cond_img.dtype),
         )
-        sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps)
+        sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps,
+                                              cache_interval=cache_interval)
         return sample_fn(
             params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
             jnp.float32(cond_scale), lowres_cond_img, lowres_noise_times,

@@ -297,6 +297,8 @@ class UnetModel(nn.Module):
         text_embeds: Optional[jnp.ndarray] = None,
         text_mask: Optional[jnp.ndarray] = None,
         text_keep_mask: Optional[jnp.ndarray] = None,
+        encoder_cache: Optional[Tuple] = None,
+        return_encoder_cache: bool = False,
     ) -> jnp.ndarray:
         """Denoise `x` at `time` under text/low-res conditioning.
 
@@ -310,7 +312,17 @@ class UnetModel(nn.Module):
         :param text_mask: (b, L) bool validity mask.
         :param text_keep_mask: (b,) bool classifier-free-guidance keep mask
             (False rows get the learned null conditioning).  None keeps all.
-        :return: (b, s, s, channels_out) predicted noise.
+        :param encoder_cache: `(x_bottleneck, hiddens)` from a previous call's
+            `return_encoder_cache=True` — when given, the stem + DOWN path are
+            skipped entirely and these features are reused (encoder-feature
+            caching across sampler steps; "Faster Diffusion",
+            arXiv 2312.09608 — encoder features vary slowly over adjacent t,
+            so recomputing only mid+up on cached steps trades ~45% of the
+            per-step FLOPs for negligible drift). Time/text conditioning is
+            always recomputed (it feeds mid/up too).
+        :param return_encoder_cache: also return the `(x, hiddens)` cache.
+        :return: (b, s, s, channels_out) predicted noise
+            (plus the cache when requested).
         """
         cfg = self.config
         x = x.astype(self.dtype)
@@ -322,20 +334,15 @@ class UnetModel(nn.Module):
         t, time_tokens = self._time_condition(time, lowres_noise_times)
         t, c = self._text_condition(text_embeds, text_mask, text_keep_mask, t, time_tokens)
 
-        if exists(lowres_cond_img):
-            x = jnp.concatenate([x, lowres_cond_img.astype(self.dtype)], axis=-1)
-
-        # stem (reference Unet.py:169-172)
-        x = CrossEmbedLayer(
-            dim_in=x.shape[-1], kernel_sizes=(3, 7, 15), dim_out=cfg.dim, stride=1,
-            dtype=self.dtype, name="init_conv",
-        )(x)
-
         layer_params = cfg.layer_params()
         num_resolutions = len(layer_params)
         skip_connect_scale = 2**-0.5  # reference Unet.py:194
         cond_dim = cfg.resolved_cond_dim
         tcd = cfg.time_cond_dim
+        # per-resolution skip width (static): the pre-downsampled dim in
+        # memory_efficient mode, the incoming dim otherwise
+        skip_dims = [dim_out if cfg.memory_efficient else dim_in
+                     for (dim_in, dim_out), *_ in layer_params]
 
         # optional rematerialization of the heavy blocks: activations inside
         # each block are recomputed during backward instead of stored
@@ -345,43 +352,56 @@ class UnetModel(nn.Module):
         RB = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         TB = nn.remat(TransformerBlock) if self.remat else TransformerBlock
 
-        # DOWN path (reference Unet.py:204-261, forward :412-432)
-        hiddens = []
-        skip_dims = []
-        for ind, ((dim_in, dim_out), nblocks, groups, layer_attn, layer_cross) in enumerate(layer_params):
-            is_last = ind == (num_resolutions - 1)
-            layer_cond = cond_dim if layer_cross else None
-            current_dim = dim_in
+        if encoder_cache is not None:
+            # reuse a previous step's stem+DOWN features wholesale
+            x, hiddens = encoder_cache[0], list(encoder_cache[1])
+        else:
+            if exists(lowres_cond_img):
+                x = jnp.concatenate([x, lowres_cond_img.astype(self.dtype)], axis=-1)
 
-            if cfg.memory_efficient:
-                x = Downsample(dim_out, dtype=self.dtype, name=f"down{ind}_pre")(x)
-                current_dim = dim_out
-            skip_dims.append(current_dim)
+            # stem (reference Unet.py:169-172)
+            x = CrossEmbedLayer(
+                dim_in=x.shape[-1], kernel_sizes=(3, 7, 15), dim_out=cfg.dim, stride=1,
+                dtype=self.dtype, name="init_conv",
+            )(x)
 
-            x = RB(
-                current_dim, current_dim, cond_dim=layer_cond, time_cond_dim=tcd,
-                groups=groups, dtype=self.dtype, name=f"down{ind}_init_block",
-            )(x, t, c)
+            # DOWN path (reference Unet.py:204-261, forward :412-432)
+            hiddens = []
+            for ind, ((dim_in, dim_out), nblocks, groups, layer_attn, layer_cross) in enumerate(layer_params):
+                is_last = ind == (num_resolutions - 1)
+                layer_cond = cond_dim if layer_cross else None
+                current_dim = dim_in
 
-            for j in range(nblocks):
+                if cfg.memory_efficient:
+                    x = Downsample(dim_out, dtype=self.dtype, name=f"down{ind}_pre")(x)
+                    current_dim = dim_out
+
                 x = RB(
-                    current_dim, current_dim, time_cond_dim=tcd, groups=groups,
-                    dtype=self.dtype, name=f"down{ind}_block{j}",
-                )(x, t)
+                    current_dim, current_dim, cond_dim=layer_cond, time_cond_dim=tcd,
+                    groups=groups, dtype=self.dtype, name=f"down{ind}_init_block",
+                )(x, t, c)
+
+                for j in range(nblocks):
+                    x = RB(
+                        current_dim, current_dim, time_cond_dim=tcd, groups=groups,
+                        dtype=self.dtype, name=f"down{ind}_block{j}",
+                    )(x, t)
+                    hiddens.append(x)
+
+                if layer_attn:
+                    x = TB(
+                        dim=current_dim, heads=cfg.attn_heads, dim_head=ATTN_DIM_HEAD,
+                        dtype=self.dtype, name=f"down{ind}_attn",
+                    )(x)
                 hiddens.append(x)
 
-            if layer_attn:
-                x = TB(
-                    dim=current_dim, heads=cfg.attn_heads, dim_head=ATTN_DIM_HEAD,
-                    dtype=self.dtype, name=f"down{ind}_attn",
-                )(x)
-            hiddens.append(x)
+                if not cfg.memory_efficient:
+                    if not is_last:
+                        x = Downsample(dim_out, dtype=self.dtype, name=f"down{ind}_post")(x)
+                    else:
+                        x = ParallelSum(dim_out, dtype=self.dtype, name=f"down{ind}_post")(x)
 
-            if not cfg.memory_efficient:
-                if not is_last:
-                    x = Downsample(dim_out, dtype=self.dtype, name=f"down{ind}_post")(x)
-                else:
-                    x = ParallelSum(dim_out, dtype=self.dtype, name=f"down{ind}_post")(x)
+        cache = (x, tuple(hiddens)) if return_encoder_cache else None
 
         # MIDDLE (reference Unet.py:263-278, forward :437-440)
         mid_dim = cfg.dim * cfg.dim_mults[-1]
@@ -442,4 +462,5 @@ class UnetModel(nn.Module):
             cfg.resolved_channels_out, (3, 3), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="final_conv",
         )(x)
-        return out.astype(jnp.float32)
+        out = out.astype(jnp.float32)
+        return (out, cache) if return_encoder_cache else out

@@ -361,3 +361,40 @@ def test_stage_memory_analysis_reports_bytes(cascade):
         if ma:  # empty dict allowed where the backend lacks the query
             assert ma["argument_size_in_bytes"] > 0
             assert ma["temp_size_in_bytes"] >= 0
+
+
+def test_encoder_cache_interval_one_is_bit_exact(cascade):
+    """cache_interval=1 recomputes every step through the caching scan
+    machinery (lax.cond + cache carry) — its output must be BIT-IDENTICAL
+    to the plain path, proving the cache plumbing is exact."""
+    b, L = 2, 6
+    import numpy as _np
+    rng = _np.random.default_rng(0)
+    embeds = jnp.asarray(rng.normal(size=(b, L, 512)), jnp.float32)
+    mask = jnp.ones((b, L), jnp.bool_)
+    key = jax.random.PRNGKey(5)
+    plain = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                           sampler="ddim", sample_steps=6, key=key)
+    cached = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                            sampler="ddim", sample_steps=6, key=key,
+                            cache_interval=1)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(cached))
+
+
+def test_encoder_cache_interval_two_samples_sanely(cascade):
+    """cache_interval=2 (real caching: every other step reuses the DOWN
+    path) must produce finite in-range images for both samplers, guided and
+    not, through the full cascade."""
+    b, L = 2, 6
+    import numpy as _np
+    rng = _np.random.default_rng(1)
+    embeds = jnp.asarray(rng.normal(size=(b, L, 512)), jnp.float32)
+    mask = jnp.ones((b, L), jnp.bool_)
+    key = jax.random.PRNGKey(6)
+    for sampler, scale in (("ddim", 3.0), ("ddpm", 1.0)):
+        out = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=scale,
+                             sampler=sampler, sample_steps=6, key=key,
+                             cache_interval=2)
+        a = np.asarray(out)
+        assert a.shape == (b, 16, 16, 3)
+        assert np.all(np.isfinite(a)) and a.min() >= 0.0 and a.max() <= 1.0

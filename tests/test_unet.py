@@ -217,3 +217,27 @@ def test_remat_preserves_outputs_and_grads():
     fb = jnp.concatenate([l.ravel() for l in jax.tree_util.tree_leaves(gb)])
     rel = float(jnp.linalg.norm(fa - fb) / jnp.linalg.norm(fa))
     assert rel < 1e-5, f"remat changed gradients: global rel err {rel}"
+
+
+def test_conditioning_inputs_all_reach_the_output():
+    """Structural connectivity: gradients flow from EVERY conditioning input
+    (lowres image, lowres aug times, text embeds, denoise times) to the
+    output. Guards against silent conditioning disconnection — a bug class
+    whose only other symptom is a mysteriously-high training loss (round-2
+    SR-demo diagnosis, tools/lowres_quirk_probe.py)."""
+    cfg = SuperTest().cast_model_parameters(
+        lowres_cond=True, text_embed_dim=512, channels=3, channels_out=3
+    )
+    model = UnetModel(config=cfg)
+    x, time, kwargs = _make_inputs(lowres=True)
+    variables = model.init(KEY, x, time, **kwargs)
+
+    def out_sum(lowres_img, embeds, t):
+        kw = dict(kwargs, lowres_cond_img=lowres_img, text_embeds=embeds)
+        return model.apply(variables, x, t.astype(jnp.float32), **kw).sum()
+
+    g_img, g_emb, g_t = jax.grad(out_sum, argnums=(0, 1, 2))(
+        kwargs["lowres_cond_img"], kwargs["text_embeds"], time.astype(jnp.float32))
+    assert float(jnp.abs(g_img).max()) > 0, "lowres_cond_img disconnected"
+    assert float(jnp.abs(g_emb).max()) > 0, "text_embeds disconnected"
+    assert float(jnp.abs(g_t).max()) > 0, "denoise time disconnected"
