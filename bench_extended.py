@@ -6,7 +6,8 @@
    Adam + clip), comparable against the PyTorch-CPU reference loop.
 
 Writes one JSON object per line. Heavy on cold compiles (remote-compile
-tunnel); run with a generous timeout. Env: EXT_WHICH=cascade|train|all.
+tunnel); run with a generous timeout. Env: EXT_WHICH=cascade|train|all,
+EXT_CACHE_INTERVAL=N for encoder-feature caching (0/unset = off).
 """
 import json
 import os
@@ -35,9 +36,12 @@ def bench_cascade():
     embeds = jnp.asarray(rng.normal(size=(b, L, 768)), jnp.float32)
     mask = jnp.ones((b, L), jnp.bool_)
 
+    cache_interval = int(os.environ.get("EXT_CACHE_INTERVAL", "0")) or None
+
     def run(key):
         return imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
-                             sampler="ddim", sample_steps=50, key=key)
+                             sampler="ddim", sample_steps=50, key=key,
+                             cache_interval=cache_interval)
 
     t0 = time.perf_counter()
     out = run(jax.random.PRNGKey(0))
@@ -54,6 +58,7 @@ def bench_cascade():
         "metric": "cascade_64_to_256_ddim50_guided_sec_per_image",
         "value": round(per_image, 4), "unit": "s/image",
         "batch": b, "compile_s": round(compile_s, 1),
+        "cache_interval": cache_interval,
         "north_star": "< 1 s/image",
     }), flush=True)
 

@@ -63,6 +63,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--cache-interval", type=int, default=None,
+                    help="encoder-feature caching (Faster Diffusion); None = off")
     args = ap.parse_args()
 
     imagen = build_imagen()
@@ -80,7 +82,8 @@ def main():
         t_stage = []
         outs = imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
                              sampler="ddim", sample_steps=args.steps,
-                             key=jax.random.PRNGKey(0), return_all_stage_outputs=True)
+                             key=jax.random.PRNGKey(0), return_all_stage_outputs=True,
+                             cache_interval=args.cache_interval)
         np.asarray(outs[-1])
         return outs
 
@@ -115,6 +118,7 @@ def main():
         "value": round(total / args.batch, 3),
         "unit": "s/image",
         "batch": args.batch,
+        "cache_interval": args.cache_interval,
         "stage_output_shapes": shapes,
         "first_run_wall_s_incl_compile": round(compile_wall, 1),
         "hbm": mem,
