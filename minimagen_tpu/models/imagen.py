@@ -320,7 +320,8 @@ class Imagen:
 
     def _build_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
                             sample_steps: Optional[int] = None, progress: bool = False,
-                            cache_interval: Optional[int] = None):
+                            cache_interval: Optional[int] = None,
+                            start_at: Optional[int] = None):
         """A jittable full reverse-diffusion pass for one cascade stage.
 
         Returns fn(params, key, shape-bearing args...) -> [0,1] images.
@@ -337,6 +338,10 @@ class Imagen:
             variants compile once). None/1 = off (exact reference numerics;
             1 is verified bit-identical in tests). 2-3 trades ~30-45% of
             per-step FLOPs for slight drift on a well-trained model.
+        :param start_at: truncate the reverse process to timesteps <= this
+            value (static; the caller supplies a matching partially-noised
+            `init_noise`). SDEdit-style truncated sampling for super-res
+            refinement — see `super_resolve(start_noise_level=...)`.
         """
         scheduler = self.noise_schedulers[stage]
         has_lowres = self.unet_configs[stage].lowres_cond
@@ -429,13 +434,17 @@ class Imagen:
                 return (img, key, cache), None
 
             if sampler == "ddpm":
-                times = scheduler.sampling_timesteps()  # (T,) descending
-                xs = (jnp.arange(times.shape[0]), times)
+                times = np.asarray(scheduler.sampling_timesteps())  # (T,) descending
+                if start_at is not None:
+                    times = times[times <= start_at]  # static truncation
+                xs = (jnp.arange(times.shape[0]), jnp.asarray(times))
                 (img, _, _), _ = jax.lax.scan(ddpm_step, (img, key, zero_cache), xs)
             else:
                 steps = default(sample_steps, min(50, scheduler.num_timesteps))
-                pairs = jnp.asarray(scheduler.strided_sampling_timesteps(steps))
-                xs = (jnp.arange(pairs.shape[0]), pairs)
+                pairs = np.asarray(scheduler.strided_sampling_timesteps(steps))
+                if start_at is not None:
+                    pairs = pairs[pairs[:, 0] <= start_at]
+                xs = (jnp.arange(pairs.shape[0]), jnp.asarray(pairs))
                 (img, _, _), _ = jax.lax.scan(ddim_step, (img, key, zero_cache), xs)
 
             img = jnp.clip(img, -1.0, 1.0)
@@ -445,13 +454,14 @@ class Imagen:
 
     def _jitted_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
                              sample_steps: Optional[int] = None, progress: bool = False,
-                             cache_interval: Optional[int] = None):
+                             cache_interval: Optional[int] = None,
+                             start_at: Optional[int] = None):
         cache_key = ("sample", stage, guided, sampler, sample_steps, progress,
-                     cache_interval)
+                     cache_interval, start_at)
         if cache_key not in self._jit_cache:
             self._jit_cache[cache_key] = jax.jit(
                 self._build_sample_stage(stage, guided, sampler, sample_steps,
-                                         progress, cache_interval)
+                                         progress, cache_interval, start_at)
             )
         return self._jit_cache[cache_key]
 
@@ -627,6 +637,7 @@ class Imagen:
         sampler: str = "ddim",
         sample_steps: Optional[int] = None,
         cache_interval: Optional[int] = None,
+        start_noise_level: Optional[float] = None,
     ):
         """Upscale EXISTING images through one super-res stage (a TPU-era
         capability beyond the reference, which can only run the full cascade
@@ -636,6 +647,13 @@ class Imagen:
             the stage's input resolution).
         :param stage: super-res stage index (>= 1; its `lowres_cond` U-Net
             conditions on `images`).
+        :param start_noise_level: SDEdit-style truncated refinement in (0, 1]:
+            instead of pure noise, the reverse process starts from
+            `q_sample(upsampled images, t = level*T)` and runs only the
+            schedule tail below that t. The model then REFINES the upsampled
+            input rather than reconstructing it from scratch — the standard
+            fast path for conditional super-resolution. None = full reverse
+            process from noise (reference cascade semantics).
         :return: (b, S, S, c) [0,1] images at the stage's output size.
         """
         assert 1 <= stage < self.num_unets and self.unet_configs[stage].lowres_cond, (
@@ -668,11 +686,28 @@ class Imagen:
             x_start=lowres_cond_img, t=lowres_noise_times,
             noise=jax.random.normal(aug_key, lowres_cond_img.shape, lowres_cond_img.dtype),
         )
+        init_noise = None
+        start_at = None
+        if start_noise_level is not None:
+            assert 0.0 < start_noise_level <= 1.0, "start_noise_level in (0, 1]"
+            scheduler = self.noise_schedulers[stage]
+            start_at = min(int(start_noise_level * scheduler.num_timesteps),
+                           scheduler.num_timesteps - 1)
+            key, init_key = jax.random.split(key)
+            upsampled = resize_image_to(images, self.image_sizes[stage])
+            init_noise = scheduler.q_sample(
+                x_start=self.normalize_img(upsampled),
+                t=jnp.full((b,), start_at, jnp.int32),
+                noise=jax.random.normal(init_key, upsampled.shape, jnp.float32),
+            )
+
         sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps,
-                                              cache_interval=cache_interval)
+                                              cache_interval=cache_interval,
+                                              start_at=start_at)
         return sample_fn(
             params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
             jnp.float32(cond_scale), lowres_cond_img, lowres_noise_times,
+            init_noise,
         )
 
     # ------------------------------------------------------------------ #

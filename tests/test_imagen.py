@@ -398,3 +398,26 @@ def test_encoder_cache_interval_two_samples_sanely(cascade):
         a = np.asarray(out)
         assert a.shape == (b, 16, 16, 3)
         assert np.all(np.isfinite(a)) and a.min() >= 0.0 and a.max() <= 1.0
+
+
+def test_super_resolve_truncated_start(cascade):
+    """SDEdit-style truncated SR: start_noise_level initializes from the
+    noised upsampled input and runs only the schedule tail below t_start."""
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)), jnp.float32)
+    embeds = jnp.asarray(rng.normal(size=(2, 6, 512)), jnp.float32)
+    mask = jnp.ones((2, 6), jnp.bool_)
+    out = cascade.super_resolve(imgs, stage=1, text_embeds=embeds, text_masks=mask,
+                                sampler="ddim", sample_steps=8,
+                                start_noise_level=0.5, key=jax.random.PRNGKey(3))
+    a = np.asarray(out)
+    assert a.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(a)) and a.min() >= 0.0 and a.max() <= 1.0
+    # the truncated stage fn was built with a static start_at
+    assert any(k[-1] is not None and k[0] == "sample" for k in cascade._jit_cache)
+    # truncation must also compose with encoder caching
+    out2 = cascade.super_resolve(imgs, stage=1, text_embeds=embeds, text_masks=mask,
+                                 sampler="ddim", sample_steps=8,
+                                 start_noise_level=0.5, cache_interval=2,
+                                 key=jax.random.PRNGKey(3))
+    assert np.all(np.isfinite(np.asarray(out2)))
