@@ -28,10 +28,11 @@ one v5e chip, 2026-08-16), not just in micro-benches, because chained-loop
 micro-timings mislead here (XLA slices dead channels out of feedback loops
 and re-layouts loop-carried small tensors):
 
-- FORWARD: the reference formulation stays (three parallel convs, ~480 us
-  in the denoise step). The space-to-depth im2col+matmul variant reaches
-  full MXU tiling but materializes a 50 MB patch tensor, measuring ~590 us
-  in context — the bandwidth erases the MXU win at inference batch sizes.
+- FORWARD: the dense space-to-depth-4 conv (no im2col patch tensor) is the
+  TPU default — measured 4.970 vs 5.317 ms on the flagship denoise step
+  (table in `_stem_forward`). The earlier space-to-depth-2 im2col+matmul
+  variant reached full MXU tiling but materialized a 50 MB patch tensor
+  (~590 us in context) and ships only as `cross_embed_fused` for reference.
 - BACKWARD (weight gradients): custom VJP through an explicit
   space-to-depth im2col + dot_general wgrad ((K2*K2*4cin) x (b*H*W/4) @
   (b*H*W/4) x (4cout) — every dimension lane-aligned). XLA's native wgrad
@@ -222,12 +223,29 @@ _S2D_ENV = "MINIMAGEN_TPU_STEM_S2D"
 
 
 def _stem_forward(x, kernels, biases, dtype):
-    """Forward formulation dispatch: `MINIMAGEN_TPU_STEM_S2D={2,4,8}` selects
-    the dense space-to-depth conv; default is the reference parallel convs
-    (measured story in the module docstring)."""
+    """Forward formulation dispatch. Default ON TPU: the dense
+    space-to-depth-4 conv — measured IN CONTEXT on the flagship denoise step
+    (tools/profile_tpu.py, one v5e chip, 2026-08-17):
+
+    | stem forward | denoise step | MFU |
+    |---|---|---|
+    | reference parallel convs | 5.317 ms | 56.6% |
+    | **s2d-4 dense conv** | **4.970 ms** | **61.4%** |
+    | s2d-8 dense conv | 5.081 ms | 60.5% |
+
+    s2d-4 lifts the stem contraction from cin=3/6 (XLA pads to 128 lanes,
+    ~4% MXU) to 5x5x(16*cin) with no im2col patch tensor — the conv category
+    drops 749 -> 269 us/step. `MINIMAGEN_TPU_STEM_S2D=0` forces the
+    reference formulation; 2/4/8 force a factor. Only dispatched where the
+    custom-VJP gate already applies (TPU, stride 1, even H/W) — CPU/tests
+    keep reference numerics."""
     env = os.environ.get(_S2D_ENV, "")
     if env in ("2", "4", "8"):
         return cross_embed_s2d_conv(x, kernels, biases, int(env), dtype)
+    if env in ("0", ""):
+        if env == "" and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            return cross_embed_s2d_conv(x, kernels, biases, 4, dtype)
+        return cross_embed_reference(x, kernels, biases, 1, dtype)
     return cross_embed_reference(x, kernels, biases, 1, dtype)
 
 

@@ -147,3 +147,22 @@ def test_s2d_env_selects_forward(monkeypatch):
     # the custom-VJP stem must produce the same forward under the env too
     vjp_out = sc._stem_vjp_fns(jnp.float32)(x, list(kernels), list(biases))
     np.testing.assert_allclose(np.asarray(vjp_out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_default_tpu_dispatch_is_s2d4(monkeypatch):
+    """With no env override, _stem_forward picks the measured-fastest s2d-4
+    formulation for 4-divisible sizes and falls back to the reference convs
+    otherwise — both numerically equal to the reference."""
+    monkeypatch.delenv(sc._S2D_ENV, raising=False)
+    kernels, biases = _weights((3, 7, 15), 3, 32)
+    for hw in (64, 18):  # 4-divisible and not
+        x = jnp.asarray(np.random.default_rng(6).normal(size=(1, hw, hw, 3)), jnp.float32)
+        ref = sc.cross_embed_reference(x, kernels, biases, stride=1, dtype=jnp.float32)
+        out = sc._stem_forward(x, kernels, biases, jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    monkeypatch.setenv(sc._S2D_ENV, "0")
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(1, 16, 16, 3)), jnp.float32)
+    ref = sc.cross_embed_reference(x, kernels, biases, stride=1, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(sc._stem_forward(x, kernels, biases, jnp.float32)),
+        np.asarray(ref), atol=1e-5, rtol=1e-5)
