@@ -434,7 +434,10 @@ class Imagen:
                 return (img, key, cache), None
 
             if sampler == "ddpm":
-                times = np.asarray(scheduler.sampling_timesteps())  # (T,) descending
+                # static numpy (NOT scheduler.sampling_timesteps(): any jnp
+                # op inside the trace yields a tracer, which breaks the
+                # static start_at truncation below)
+                times = np.arange(scheduler.num_timesteps - 1, -1, -1, dtype=np.int32)
                 if start_at is not None:
                     times = times[times <= start_at]  # static truncation
                 xs = (jnp.arange(times.shape[0]), jnp.asarray(times))
