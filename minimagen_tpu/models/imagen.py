@@ -696,6 +696,17 @@ class Imagen:
             scheduler = self.noise_schedulers[stage]
             start_at = min(int(start_noise_level * scheduler.num_timesteps),
                            scheduler.num_timesteps - 1)
+            if sampler == "ddim":
+                # clamp to the strided grid: the sampler filters its pairs to
+                # t <= start_at, so q_sample the init image at the first t it
+                # will actually process — otherwise the first denoise step
+                # runs at a t below the init image's true noise level
+                steps = default(sample_steps, min(50, scheduler.num_timesteps))
+                grid = np.asarray(scheduler.strided_sampling_timesteps(steps))[:, 0]
+                on_grid = grid[grid <= start_at]
+                assert on_grid.size, (
+                    "start_noise_level is below the DDIM grid's smallest timestep")
+                start_at = int(on_grid.max())
             key, init_key = jax.random.split(key)
             upsampled = resize_image_to(images, self.image_sizes[stage])
             init_noise = scheduler.q_sample(
@@ -810,7 +821,11 @@ class Imagen:
         stage = unet_number - 1
 
         params = self._get_params(params)
-        key = default(key, lambda: jax.random.PRNGKey(0))
+        # fresh entropy when no key is given — matches the reference's fresh
+        # time/noise draws per call (Imagen.py:615) and the round-2 sample()
+        # fix; pass an explicit key for reproducibility
+        key = default(key, lambda: jax.random.PRNGKey(
+            int.from_bytes(os.urandom(4), "little")))
 
         images = jnp.asarray(images, jnp.float32)
         if data_format == "NCHW":

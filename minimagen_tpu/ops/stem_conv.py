@@ -58,10 +58,15 @@ _FUSED_ENV = "MINIMAGEN_TPU_STEM_FUSED"
 
 
 def use_fused_stem(stride: int, h: int, w: int) -> bool:
+    # The fused math is only defined for stride-1 even-H/W stems; the env is
+    # a TPU-dispatch override, never a correctness override, so the
+    # preconditions gate both branches.
+    if not (stride == 1 and h % 2 == 0 and w % 2 == 0):
+        return False
     env = os.environ.get(_FUSED_ENV)
     if env is not None:
         return env not in ("0", "")
-    return pallas_enabled() and stride == 1 and h % 2 == 0 and w % 2 == 0
+    return pallas_enabled()
 
 
 def merge_cross_embed_kernels(
@@ -241,11 +246,17 @@ def _stem_forward(x, kernels, biases, dtype):
     keep reference numerics."""
     env = os.environ.get(_S2D_ENV, "")
     if env in ("2", "4", "8"):
-        return cross_embed_s2d_conv(x, kernels, biases, int(env), dtype)
-    if env in ("0", ""):
-        if env == "" and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
-            return cross_embed_s2d_conv(x, kernels, biases, 4, dtype)
-        return cross_embed_reference(x, kernels, biases, 1, dtype)
+        f = int(env)
+        if x.shape[1] % f or x.shape[2] % f:
+            # depth_to_space would truncate to f*(h//f) rows — fall back to
+            # the exact reference formulation rather than return a wrong shape
+            return cross_embed_reference(x, kernels, biases, 1, dtype)
+        return cross_embed_s2d_conv(x, kernels, biases, f, dtype)
+    if env not in ("0", ""):
+        raise ValueError(
+            f"{_S2D_ENV}={env!r}: expected one of 0 (reference), 2, 4, 8")
+    if env == "" and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        return cross_embed_s2d_conv(x, kernels, biases, 4, dtype)
     return cross_embed_reference(x, kernels, biases, 1, dtype)
 
 
@@ -280,11 +291,11 @@ def _stem_vjp_fns(dtype):
 
     @jax.custom_vjp
     def stem(x, kernels, biases):
-        # forward: reference formulation by default. Measured IN CONTEXT
-        # (flagship denoise step, tools/profile_tpu.py): the parallel convs
-        # cost ~480 us/step, the space-to-depth im2col+matmul ~590 us (the
-        # 50 MB patch materialization erases the MXU win at inference batch
-        # size). MINIMAGEN_TPU_STEM_S2D={2,4,8} flips to the dense s2d conv.
+        # forward: _stem_forward's measured dispatch — s2d-4 dense conv by
+        # default on TPU when H/W are 4-divisible (denoise step 5.317 ->
+        # 4.970 ms in context), reference parallel convs otherwise.
+        # MINIMAGEN_TPU_STEM_S2D=0 forces reference, 2/4/8 force a factor
+        # (with a reference fallback when H/W aren't divisible).
         return _stem_forward(x, kernels, biases, dtype)
 
     def stem_fwd(x, kernels, biases):

@@ -421,3 +421,31 @@ def test_super_resolve_truncated_start(cascade):
                                  start_noise_level=0.5, cache_interval=2,
                                  key=jax.random.PRNGKey(3))
     assert np.all(np.isfinite(np.asarray(out2)))
+
+
+def test_super_resolve_start_at_clamped_to_ddim_grid(cascade):
+    """DDIM start_at must land ON the strided grid so the init image's noise
+    level matches the first processed timestep (round-2 ADVICE item 4)."""
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)), jnp.float32)
+    embeds = jnp.asarray(rng.normal(size=(2, 6, 512)), jnp.float32)
+    mask = jnp.ones((2, 6), jnp.bool_)
+    cascade._jit_cache.clear()
+    cascade.super_resolve(imgs, stage=1, text_embeds=embeds, text_masks=mask,
+                          sampler="ddim", sample_steps=7,
+                          start_noise_level=0.43, key=jax.random.PRNGKey(3))
+    grid = np.asarray(
+        cascade.noise_schedulers[1].strided_sampling_timesteps(7))[:, 0]
+    start_ats = [k[-1] for k in cascade._jit_cache
+                 if k[0] == "sample" and k[-1] is not None]
+    assert start_ats, "no truncated stage fn was built"
+    assert all(s in grid for s in start_ats), (start_ats, grid.tolist())
+
+
+def test_forward_default_key_is_fresh_entropy(cascade):
+    """Without an explicit key, two forward() calls must draw different
+    times/noise (reference draws fresh randoms per call, Imagen.py:615)."""
+    images, embeds, mask = _batch()
+    a = cascade.forward(images, text_embeds=embeds, text_masks=mask, unet_number=1)
+    b = cascade.forward(images, text_embeds=embeds, text_masks=mask, unet_number=1)
+    assert float(a) != float(b)

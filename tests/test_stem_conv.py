@@ -166,3 +166,36 @@ def test_default_tpu_dispatch_is_s2d4(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(sc._stem_forward(x, kernels, biases, jnp.float32)),
         np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_s2d_env_invalid_value_raises(monkeypatch):
+    """Unrecognized MINIMAGEN_TPU_STEM_S2D values (e.g. the plausible '1')
+    must error rather than silently select a path (round-2 ADVICE item 2)."""
+    kernels, biases = _weights((3, 7, 15), 3, 32)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(1, 16, 16, 3)), jnp.float32)
+    monkeypatch.setenv(sc._S2D_ENV, "1")
+    with pytest.raises(ValueError):
+        sc._stem_forward(x, kernels, biases, jnp.float32)
+
+
+def test_s2d_forced_factor_nondivisible_falls_back(monkeypatch):
+    """A forced factor whose H/W aren't divisible would truncate the output;
+    the dispatcher must fall back to the exact reference formulation."""
+    kernels, biases = _weights((3, 7, 15), 3, 32)
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(1, 18, 18, 3)), jnp.float32)
+    ref = sc.cross_embed_reference(x, kernels, biases, stride=1, dtype=jnp.float32)
+    monkeypatch.setenv(sc._S2D_ENV, "4")
+    out = sc._stem_forward(x, kernels, biases, jnp.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_env_respects_preconditions(monkeypatch):
+    """MINIMAGEN_TPU_STEM_FUSED=1 is a dispatch override, not a correctness
+    override: stride-2 or odd-H/W stems stay on the reference path
+    (round-2 ADVICE item 1)."""
+    monkeypatch.setenv(sc._FUSED_ENV, "1")
+    assert not sc.use_fused_stem(2, 16, 16)
+    assert not sc.use_fused_stem(1, 15, 16)
+    assert not sc.use_fused_stem(1, 16, 15)
+    assert sc.use_fused_stem(1, 16, 16)
