@@ -125,8 +125,27 @@ def bench_train(imagen, steps: int, batch: int = 8):
         out = chain((params, opt_state), jax.random.PRNGKey(0), n)
         np.asarray(jax.tree_util.tree_leaves(out)[0])
 
+    # METHODOLOGY: slope-timed jit-chained steps = pure device rate (no
+    # per-step dispatch). bench_extended.py's train metric is the
+    # dispatch-inclusive wall figure; see BASELINE.md "train-throughput
+    # methodology" for why they differ through this sandbox's tunnel.
     sec_per_step = _slope_time(run, max(steps // 4, 4), max(steps // 4, 4) * 3)
-    return 1.0 / sec_per_step
+
+    def one_step(params, opt_state, key):
+        _, grads = jax.value_and_grad(loss_fn)(params, images, embeds, mask, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    try:
+        cost = jax.jit(one_step).lower(params, opt_state,
+                                       jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    mfu = flops / sec_per_step / (V5E_BF16_TFLOPS * 1e12) if flops else None
+    return 1.0 / sec_per_step, mfu
 
 
 def bench_cascade(imagen, batch: int = 4):
@@ -160,7 +179,7 @@ def main():
     imagen = _flagship_imagen(dtype=dtype)
 
     denoise_sps, mfu = bench_denoise(imagen, steps, batch)
-    train_sps = bench_train(_flagship_imagen(dtype=dtype), steps)
+    train_sps, train_mfu = bench_train(_flagship_imagen(dtype=dtype), steps)
 
     cascade_s = None
     if os.environ.get("BENCH_CASCADE", "1") != "0":
@@ -195,6 +214,8 @@ def main():
         "vs_baseline": round(denoise_sps / torch_sps, 2),
         "extra": {
             "train_steps_per_sec_batch8": round(train_sps, 3),
+            "train_mfu_vs_197tflops": (
+                round(train_mfu, 4) if train_mfu is not None else None),
             "cascade_64_256_ddim50_s_per_image": (
                 round(cascade_s, 3) if cascade_s is not None else None),
             "mfu_vs_197tflops": round(mfu, 4) if mfu is not None else None,

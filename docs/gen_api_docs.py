@@ -33,6 +33,7 @@ MODULES = [
     "minimagen_tpu.ops.stem_conv",
     "minimagen_tpu.ops.helpers",
     "minimagen_tpu.ops.resize",
+    "minimagen_tpu.ops.resize_right",
     # data / harness / persistence
     "minimagen_tpu.data.dataset",
     "minimagen_tpu.data.collate",

@@ -459,6 +459,8 @@ class Imagen:
                              sample_steps: Optional[int] = None, progress: bool = False,
                              cache_interval: Optional[int] = None,
                              start_at: Optional[int] = None):
+        assert cache_interval is None or isinstance(cache_interval, int), (
+            "'auto' must be resolved via _resolve_cache_interval before here")
         cache_key = ("sample", stage, guided, sampler, sample_steps, progress,
                      cache_interval, start_at)
         if cache_key not in self._jit_cache:
@@ -467,6 +469,83 @@ class Imagen:
                                          progress, cache_interval, start_at)
             )
         return self._jit_cache[cache_key]
+
+    # v5e figures for the caching cost model: sustained bf16 matmul rate at
+    # the measured ~55-62% MFU (BASELINE.md), HBM bandwidth, and the per-step
+    # overhead of the lax.cond + carried-cache re-layout inside the scan
+    _MXU_EFF_FLOPS = 0.55 * 197e12
+    _HBM_BYTES_PER_S = 819e9
+    _CACHE_COND_OVERHEAD_S = 1e-4
+
+    def encoder_cache_cost_model(self, stage: int, batch_size: int,
+                                 text_len: int = 64, interval: int = 2):
+        """FLOPs-vs-carry-bytes estimate for encoder-feature caching
+        (round-2 VERDICT next #5): decide whether skipping the stem+DOWN path
+        on (interval-1)/interval of the sampler steps saves more device time
+        than carrying the cached features through the scan costs.
+
+        Everything is derived abstractly (`jax.eval_shape` — no compile, no
+        FLOPs): cache bytes are exact; the DOWN-path FLOPs are estimated from
+        the cached features' shapes (~2 3x3 convs of C->C per cached tensor,
+        the ResNet-block shape that produced it). Returns a dict with the
+        estimate and the enable decision. Measured calibration (BASELINE.md):
+        the dim-128 flagship wins (~11% wall), dim<=48 demo models lose.
+        """
+        cfg, model = self.unet_configs[stage], self.unets[stage]
+        size = self.image_sizes[stage]
+        x = jax.ShapeDtypeStruct((batch_size, size, size, self.channels), jnp.float32)
+        time = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+        embeds = jax.ShapeDtypeStruct(
+            (batch_size, text_len, self.text_embed_dim), jnp.float32)
+        mask = jax.ShapeDtypeStruct((batch_size, text_len), jnp.bool_)
+
+        def _kw(xx, tt, ee, mm):
+            kw = dict(text_embeds=ee, text_mask=mm)
+            if cfg.lowres_cond:
+                kw["lowres_cond_img"] = xx
+                kw["lowres_noise_times"] = tt
+            return kw
+
+        # everything rides eval_shape ARGUMENTS (partial-bound kwargs would
+        # reach the model as concrete ShapeDtypeStructs, not tracers)
+        variables = jax.eval_shape(
+            lambda rng, xx, tt, ee, mm: model.init(rng, xx, tt, **_kw(xx, tt, ee, mm)),
+            jax.random.PRNGKey(0), x, time, embeds, mask)
+        cache_shapes = jax.eval_shape(
+            lambda v, xx, tt, ee, mm: model.apply(
+                v, xx, tt, return_encoder_cache=True, **_kw(xx, tt, ee, mm))[1],
+            variables, x, time, embeds, mask)
+
+        leaves = jax.tree_util.tree_leaves(cache_shapes)
+        cache_bytes = sum(int(np.prod(s.shape)) * s.dtype.itemsize for s in leaves)
+        down_flops = sum(
+            4.0 * 9.0 * s.shape[1] * s.shape[2] * (s.shape[3] ** 2) * s.shape[0]
+            for s in leaves if len(s.shape) == 4)
+
+        saved_s = down_flops * (1.0 - 1.0 / interval) / self._MXU_EFF_FLOPS
+        cost_s = 2.0 * cache_bytes / self._HBM_BYTES_PER_S + self._CACHE_COND_OVERHEAD_S
+        return {
+            "cache_bytes": cache_bytes,
+            "down_flops_est": down_flops,
+            "saved_s_per_step": saved_s,
+            "cost_s_per_step": cost_s,
+            # 1.5x margin: only clear wins cache. The FLOPs figure is an
+            # UNDERestimate (init cross-attn blocks, attention and the stem
+            # are not represented by cached tensors), so the margin is
+            # effectively larger; calibrated against round-2 measurements —
+            # dim-128 flagship (won 11% wall) enables, dim<=48 demo (lost)
+            # stays off.
+            "enable": saved_s > 1.5 * cost_s,
+        }
+
+    def _resolve_cache_interval(self, cache_interval, stage: int,
+                                batch_size: int, text_len: int):
+        """'auto' -> 2 where the cost model says caching clearly wins, else
+        None (exact reference numerics). Explicit ints/None pass through."""
+        if cache_interval != "auto":
+            return cache_interval
+        return 2 if self.encoder_cache_cost_model(
+            stage, batch_size, text_len)["enable"] else None
 
     def stage_memory_analysis(self, stage: int, *, batch_size: int = 1,
                               text_len: int = 64, cond_scale: float = 3.0,
@@ -522,7 +601,7 @@ class Imagen:
         sampler: str = "ddpm",
         sample_steps: Optional[int] = None,
         progress: bool = False,
-        cache_interval: Optional[int] = None,
+        cache_interval: Union[int, str, None] = "auto",
         device=None,
     ):
         """Generate images for captions (reference Imagen.py:422-510).
@@ -539,7 +618,12 @@ class Imagen:
             ("Faster Diffusion", arXiv 2312.09608): recompute the U-Net
             DOWN path only every N-th step, reuse in between. None/1 = off
             (exact numerics); 2-3 ≈ 30-45% fewer sampling FLOPs with slight
-            drift on a trained model.
+            drift on a trained model (measured 41 dB vs uncached at N=2,
+            BASELINE.md). Default 'auto': per stage, ON at N=2 only where the
+            FLOPs-vs-carry-bytes cost model says it clearly wins
+            (`encoder_cache_cost_model`) — flagship-sized stages cache, small
+            ones keep exact numerics. Pass None to force reference-exact
+            sampling everywhere.
         :param progress: show a per-timestep progress bar (reference tqdm,
             Imagen.py:404), emitted from inside the compiled scan via
             `jax.debug.callback`.
@@ -595,8 +679,11 @@ class Imagen:
                     noise=jax.random.normal(aug_key, lowres_cond_img.shape, lowres_cond_img.dtype),
                 )
 
+            stage_cache = self._resolve_cache_interval(
+                cache_interval, stage, batch_size * (2 if guided else 1),
+                text_embeds.shape[1])
             sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps,
-                                                  progress, cache_interval)
+                                                  progress, stage_cache)
             if progress:
                 from ..utils.progress import ProgressBar  # noqa: PLC0415
                 T = self.noise_schedulers[stage].num_timesteps
@@ -639,7 +726,7 @@ class Imagen:
         key: Optional[jax.Array] = None,
         sampler: str = "ddim",
         sample_steps: Optional[int] = None,
-        cache_interval: Optional[int] = None,
+        cache_interval: Union[int, str, None] = "auto",
         start_noise_level: Optional[float] = None,
     ):
         """Upscale EXISTING images through one super-res stage (a TPU-era
@@ -715,8 +802,10 @@ class Imagen:
                 noise=jax.random.normal(init_key, upsampled.shape, jnp.float32),
             )
 
+        stage_cache = self._resolve_cache_interval(
+            cache_interval, stage, b * (2 if guided else 1), text_embeds.shape[1])
         sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps,
-                                              cache_interval=cache_interval,
+                                              cache_interval=stage_cache,
                                               start_at=start_at)
         return sample_fn(
             params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
@@ -728,12 +817,19 @@ class Imagen:
     # training loss                                                       #
     # ------------------------------------------------------------------ #
     def _p_losses(self, stage, unet_params, x_start, times, *, key, text_embeds, text_mask,
-                  lowres_cond_img=None, lowres_aug_times=None):
-        """Noise inputs, predict noise, compute loss (reference Imagen.py:512-573)."""
+                  lowres_cond_img=None, lowres_aug_times=None,
+                  noise=None, lowres_noise=None):
+        """Noise inputs, predict noise, compute loss (reference Imagen.py:512-573).
+
+        ``noise`` optionally injects the forward-process noise (the reference
+        has the same kwarg, Imagen.py:544-546); ``lowres_noise`` likewise for
+        the conditioning-image augmentation noise (the reference draws it
+        internally, Imagen.py:558-560) — used by the cross-framework
+        full-chain parity tests."""
         scheduler = self.noise_schedulers[stage]
         noise_key, lowres_key, drop_key = jax.random.split(key, 3)
 
-        noise = jax.random.normal(noise_key, x_start.shape, jnp.float32)
+        noise = default(noise, lambda: jax.random.normal(noise_key, x_start.shape, jnp.float32))
         x_start = self.normalize_img(x_start)
         lowres_cond_img = maybe(self.normalize_img)(lowres_cond_img)
 
@@ -744,7 +840,8 @@ class Imagen:
             lowres_aug_times = default(lowres_aug_times, times)
             lowres_cond_img_noisy = self.lowres_noise_schedule.q_sample(
                 x_start=lowres_cond_img, t=lowres_aug_times,
-                noise=jax.random.normal(lowres_key, lowres_cond_img.shape, jnp.float32),
+                noise=default(lowres_noise, lambda: jax.random.normal(
+                    lowres_key, lowres_cond_img.shape, jnp.float32)),
             )
 
         keep_mask = prob_mask_like(drop_key, (x_start.shape[0],), 1.0 - self.cond_drop_prob)

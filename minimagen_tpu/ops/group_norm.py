@@ -293,9 +293,12 @@ def _fused_bwd(groups, eps, silu, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _xla_forward(x, gamma, beta, scale_shift, silu, groups, eps):
-    """Plain-XLA path, bit-identical to the pre-fusion module math
-    (models/layers.py GroupNorm + Block scale-shift + SiLU)."""
+def _xla_forward_reference(x, gamma, beta, scale_shift, silu, groups, eps):
+    """Round-2 XLA path, bit-identical to the pre-fusion module math
+    (models/layers.py GroupNorm + Block scale-shift + SiLU). Kept as the
+    `MINIMAGEN_TPU_GN_MOMENTS=0` A/B control: it materializes an f32 copy of
+    x and makes ~3 HBM sweeps (convert+reduce stats, centered-square stats,
+    normalize)."""
     b, h, w, c = x.shape
     xg = x.reshape(b, h, w, groups, c // groups).astype(jnp.float32)
     mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
@@ -307,6 +310,61 @@ def _xla_forward(x, gamma, beta, scale_shift, silu, groups, eps):
         scale, shift = scale_shift
         out = out * (scale + 1.0) + shift
     return jax.nn.silu(out) if silu else out
+
+
+_GN_MOMENTS_ENV = "MINIMAGEN_TPU_GN_MOMENTS"
+
+
+def _xla_forward(x, gamma, beta, scale_shift, silu, groups, eps):
+    """Dtype-flow-restructured XLA path (round-3 VERDICT next #1).
+
+    Round 2's profile put the GroupNorm bf16<->f32 convert_reduce fusions at
+    ~1.2 ms of the 4.97 ms denoise step. The fused Pallas kernel is a
+    measured NEGATIVE (module docstring); this instead restructures the plain
+    XLA formulation so no full-size f32 tensor ever exists:
+
+    1. ONE stats sweep over bf16 x: sum and sum-of-squares reduced with f32
+       ACCUMULATION directly from the bf16 values (the convert fuses into
+       the reduction loop; both reductions share the read as a sibling
+       multi-output fusion). var = E[x^2] - mean^2 — exact in f32 for bf16
+       inputs (8-bit mantissa products are representable), and the one-pass
+       moments trade-off is the same one production GN/LN kernels make.
+    2. mean/rstd/gamma/beta/scale-shift fold into per-(b, c) coefficients on
+       TINY tensors: y = x * A + B with A = rstd*gamma*(ss+1),
+       B = (beta - mean*rstd*gamma)*(ss+1) + ss_t.
+    3. ONE apply sweep: bf16 read -> f32 multiply-add (+ SiLU) -> bf16 write.
+
+    Two bf16-bandwidth sweeps total vs the reference path's ~3 with f32
+    intermediates. `MINIMAGEN_TPU_GN_MOMENTS=0` restores the round-2 path.
+    """
+    if os.environ.get(_GN_MOMENTS_ENV, "1") in ("0", ""):
+        return _xla_forward_reference(x, gamma, beta, scale_shift, silu, groups, eps)
+    b, h, w, c = x.shape
+    cg = c // groups
+    n = jnp.float32(h * w * cg)
+
+    xg = x.reshape(b, h, w, groups, cg)
+    s1 = jnp.sum(xg, axis=(1, 2, 4), dtype=jnp.float32)            # (b, G)
+    s2 = jnp.sum(jnp.square(xg.astype(jnp.float32)), axis=(1, 2, 4))
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)                                # (b, G)
+
+    # broadcast group stats to channels and fold everything into (b, c)
+    mean_c = jnp.repeat(mean, cg, axis=1)
+    rstd_c = jnp.repeat(rstd, cg, axis=1)
+    a = rstd_c * gamma.astype(jnp.float32)[None, :]
+    bb = beta.astype(jnp.float32)[None, :] - mean_c * a
+    if scale_shift is not None:
+        ss_s = scale_shift[0].astype(jnp.float32).reshape(b, c)
+        ss_t = scale_shift[1].astype(jnp.float32).reshape(b, c)
+        a = a * (ss_s + 1.0)
+        bb = bb * (ss_s + 1.0) + ss_t
+
+    y = (x.astype(jnp.float32) * a[:, None, None, :] + bb[:, None, None, :])
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
 
 
 def group_norm_silu(

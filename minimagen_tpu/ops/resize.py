@@ -2,14 +2,15 @@
 
 Capability parity with `resize_image_to` (/root/reference/minimagen/
 helpers.py:138-164), which wraps the `resize_right` package (cubic kernel,
-antialiased downscaling, 'reflect' padding).  Here we use `jax.image.resize`
-with the Keys cubic kernel and antialiasing — the same interpolation family —
-which XLA fuses and runs on-device, instead of a host-side library.
+antialiased downscaling, 'reflect' padding).
 
-Exact boundary handling differs from resize_right's reflect padding by a few
-edge pixels; this is a documented deliberate deviation (the conditioning
-signal is a *blurred* low-res image either way; training targets adapt to
-whichever resize the framework itself uses consistently).
+Since round 3 the default path IS the exact resize_right algorithm
+(`minimagen_tpu/ops/resize_right.py` — symmetric-grid projection, a=-0.5
+cubic, antialiasing, reflect boundary folded into dense per-dim resampling
+matrices), so the low-res conditioning pair matches the reference's numerics
+and `.pth`-imported SR stages see on-distribution conditioning. The round-2
+`jax.image.resize` path (same interpolation family, different grid/boundary
+convention at edge pixels) remains available via ``method='jax_cubic'``.
 """
 from __future__ import annotations
 
@@ -19,13 +20,15 @@ import jax
 import jax.numpy as jnp
 
 from .helpers import exists
+from .resize_right import resize as _resize_right
 
 
 def resize_image_to(
     image: jnp.ndarray,
     target_image_size: int,
     clamp_range: Optional[Tuple[float, float]] = None,
-    method: str = "cubic",
+    method: str = "resize_right",
+    pad_mode: str = "reflect",
 ) -> jnp.ndarray:
     """Resize NHWC images to a square `target_image_size`.
 
@@ -33,18 +36,27 @@ def resize_image_to(
     :param target_image_size: target side length.
     :param clamp_range: optional (lo, hi) clamp applied after resizing
         (reference helpers.py:161-162).
-    :param method: interpolation method for `jax.image.resize`.
+    :param method: ``'resize_right'`` (default, reference-exact numerics) or
+        ``'jax_cubic'`` (the round-2 `jax.image.resize` path).
+    :param pad_mode: boundary mode for the resize_right path (reference
+        default 'reflect', helpers.py:141).
     """
     b, h, w, c = image.shape
     if h == target_image_size and w == target_image_size:
         return image
 
-    out = jax.image.resize(
-        image,
-        (b, target_image_size, target_image_size, c),
-        method=method,
-        antialias=True,
-    )
+    if method == "resize_right":
+        # scalar scale + ceil out-size, exactly like the reference wrapper
+        # (helpers.py:156-158: scale_factors = target / orig)
+        out = _resize_right(image, scale_factors=target_image_size / h,
+                            dims=(1, 2), pad_mode=pad_mode)
+    else:
+        out = jax.image.resize(
+            image,
+            (b, target_image_size, target_image_size, c),
+            method="cubic" if method == "jax_cubic" else method,
+            antialias=True,
+        )
 
     if exists(clamp_range):
         out = jnp.clip(out, clamp_range[0], clamp_range[1])

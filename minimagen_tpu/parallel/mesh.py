@@ -154,6 +154,12 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # exponential moving average of params (None = EMA off). A TPU-era
+    # addition beyond the reference (documented deviation): the standard fix
+    # for diffusion sampling quality, absent upstream. Enable via
+    # create_train_state(..., ema=True) + make_train_step(..., ema_decay=d)
+    # or the --EMA CLI flag.
+    ema_params: Any = None
 
 
 def make_optimizer(lr: float, accum_iter: int = 1) -> optax.GradientTransformation:
@@ -166,13 +172,21 @@ def make_optimizer(lr: float, accum_iter: int = 1) -> optax.GradientTransformati
 
 
 def create_train_state(params, optimizer: optax.GradientTransformation,
-                       mesh: Optional[Mesh] = None) -> TrainState:
+                       mesh: Optional[Mesh] = None, *, ema: bool = False) -> TrainState:
     """Fresh TrainState. With `mesh`, every leaf not already placed on that
     mesh (the step counter, optax scalar counters, host arrays) is committed
     replicated onto it, so the whole state shares device placement — required
-    when the state round-trips through sharded Orbax checkpoints."""
+    when the state round-trips through sharded Orbax checkpoints.
+
+    :param ema: also track an exponential moving average of the params
+        (initialized to the params; updated by make_train_step's ema_decay).
+    """
+    # EMA starts as a REAL copy of the params — aliasing the same buffers
+    # would make the jitted step donate each twice
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=optimizer.init(params))
+                       opt_state=optimizer.init(params),
+                       ema_params=jax.tree_util.tree_map(jnp.copy, params)
+                       if ema else None)
     if mesh is not None:
         rep = replicated(mesh)
 
@@ -187,11 +201,16 @@ def create_train_state(params, optimizer: optax.GradientTransformation,
 
 
 def make_train_step(imagen, optimizer: optax.GradientTransformation,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
+                    mesh: Optional[Mesh] = None, donate: bool = True,
+                    ema_decay: float = 0.9999):
     """Build the jitted multi-stage train step.
 
     fn(state, batch, key) -> (state, losses (num_unets,))
     `batch` = {'image': (b,s,s,3) [0,1], 'encoding': (b,L,d), 'mask': (b,L)}.
+
+    When the state carries `ema_params` (create_train_state(ema=True)), they
+    are updated as `ema = ema_decay * ema + (1 - ema_decay) * params` each
+    step — fused into the same compiled step, zero extra dispatches.
     """
     num_unets = imagen.num_unets
     stage_losses = [imagen.stage_loss_fn(i) for i in range(num_unets)]
@@ -210,7 +229,15 @@ def make_train_step(imagen, optimizer: optax.GradientTransformation,
         (_, losses), grads = jax.value_and_grad(total_loss, has_aux=True)(state.params, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), losses
+        ema = state.ema_params
+        if ema is not None:  # static: None is pytree structure, retraced per state shape
+            d = jnp.asarray(ema_decay, jnp.float32)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: (e.astype(jnp.float32) * d
+                              + p.astype(jnp.float32) * (1.0 - d)).astype(e.dtype),
+                ema, params)
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state,
+                          ema_params=ema), losses
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

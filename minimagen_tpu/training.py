@@ -122,6 +122,11 @@ def get_minimagen_parser() -> ArgumentParser:
     parser.add_argument("-test", "--TESTING", dest="TESTING",
                         help="Whether to test with smaller dataset", action="store_true")
     parser.set_defaults(TESTING=False)
+    # TPU-era extra (documented deviation; the reference has no EMA): decay of
+    # an exponential moving average of the weights, tracked inside the fused
+    # train step; checkpoints/validation then use the EMA weights. 0 = off.
+    parser.add_argument("--EMA", dest="EMA", type=float, default=0.0,
+                        help="EMA decay for model weights (e.g. 0.9999); 0 disables")
     return parser
 
 
@@ -415,7 +420,8 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
         params = place_params(imagen.params, infer_param_shardings(imagen.params, mesh))
     else:
         params = imagen.params
-    state = create_train_state(params, optimizer, mesh=mesh)
+    ema_decay = float(getattr(args, "EMA", 0.0) or 0.0)
+    state = create_train_state(params, optimizer, mesh=mesh, ema=ema_decay > 0.0)
 
     # full-state resume (optimizer moments + step), beyond the reference's
     # weights-only restart. Mesh runs resume from the Orbax directory —
@@ -432,9 +438,15 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
         elif os.path.exists(ts_path):
             state = load_train_state(ts_path, state)
             print(f"Restored full train state (step {int(state.step)}) from {ts_path}")
-    train_step = make_train_step(imagen, optimizer, mesh=mesh)
+    train_step = make_train_step(imagen, optimizer, mesh=mesh, ema_decay=ema_decay)
     eval_step = make_eval_step(imagen, mesh=mesh)
     base_key = jax.random.PRNGKey(seed)
+
+    def _eval_params(state):
+        """Weights used for validation + unet checkpoints: the EMA when it is
+        tracked (standard diffusion practice; documented deviation from the
+        reference), the raw params otherwise. The full state keeps both."""
+        return state.ema_params if state.ema_params is not None else state.params
 
     def _dump_tmp(params, full_state=None):
         with training_dir("tmp"):
@@ -497,7 +509,7 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                     with open("training_progess.txt", "a") as f:
                         f.write(f"\n\nDATA LOADER FAILED AT EPOCH {epoch} with exception {e}. "
                                 f"MOST RECENT STATE DICTS SAVED TO ./tmp IN TRAINING FOLDER\n")
-                _dump_tmp(state.params, full_state=state)
+                _dump_tmp(_eval_params(state), full_state=state)
                 break
             batch_num += 1
             bar.update()
@@ -520,7 +532,7 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                         with open("training_progess.txt", "a") as f:
                             f.write(f'{"-" * 10}Checkpoint created at batch number {batch_num}{"-" * 10}\n')
 
-                    _dump_tmp(state.params, full_state=state)
+                    _dump_tmp(_eval_params(state), full_state=state)
 
                     avg_loss = running_train_loss / max(batch_num, 1)
                     with training_dir():
@@ -531,14 +543,14 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                                     f"{[round(float(i), 3) for i in losses_np]}\n")
 
                     print(f'\n{"-" * 10}Validation...{"-" * 10}')
-                    avg_valid = _validate(state.params, jax.random.fold_in(epoch_key, 10_000 + batch_num))
+                    avg_valid = _validate(_eval_params(state), jax.random.fold_in(epoch_key, 10_000 + batch_num))
                     for i, l in enumerate(avg_valid):
                         print(f"Unet {i} avg validation loss: ", l)
                         if l < best_loss[i]:
                             best_loss[i] = l
                             with training_dir("state_dicts"):
                                 save_unet_checkpoint(
-                                    f"unet_{i}_state_{timestamp}.{CKPT_EXT}", state.params[f"unet_{i}"]
+                                    f"unet_{i}_state_{timestamp}.{CKPT_EXT}", _eval_params(state)[f"unet_{i}"]
                                 )
                     with training_dir():
                         with open("training_progess.txt", "a") as f:
@@ -566,11 +578,11 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
                         f.write(f"\n\nTRAINING ABORTED AT EPOCH {epoch}, BATCH NUMBER {batch_num} "
                                 f"with exception {e}. MOST RECENT STATE DICTS SAVED TO ./tmp IN "
                                 f"TRAINING FOLDER")
-                _dump_tmp(state.params, full_state=state)
+                _dump_tmp(_eval_params(state), full_state=state)
         bar.close()
 
     # final state also goes to tmp so inference always has weights
-    _dump_tmp(state.params, full_state=state)
-    imagen.params = jax.device_get(state.params)
+    _dump_tmp(_eval_params(state), full_state=state)
+    imagen.params = jax.device_get(_eval_params(state))
     return {"best_valid_loss": best_loss.tolist(), "history": history,
             "final_step": int(state.step), "perf": timer.summary()}

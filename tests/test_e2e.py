@@ -164,8 +164,8 @@ def test_training_watchdog_skips_hung_batch(tmp_path, monkeypatch):
     real_make = training_mod.make_train_step
     calls = {"n": 0}
 
-    def hanging_make_train_step(imagen_arg, optimizer, mesh=None):
-        real_step = real_make(imagen_arg, optimizer, mesh=mesh)
+    def hanging_make_train_step(imagen_arg, optimizer, mesh=None, **kw):
+        real_step = real_make(imagen_arg, optimizer, mesh=mesh, **kw)
 
         def step(state, batch, key):
             calls["n"] += 1

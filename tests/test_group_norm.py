@@ -132,3 +132,62 @@ def test_bf16_activations():
     ref = gn._xla_forward(x, gamma, beta, ss, True, groups=8, eps=1e-5)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                atol=0.05, rtol=0.05)
+
+
+class TestMomentsPath:
+    """The dtype-flow-restructured XLA path (round-3 VERDICT #1) must match
+    the round-2 two-pass formulation numerically in all configurations."""
+
+    @pytest.mark.parametrize("dtype,atol", [(jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)])
+    @pytest.mark.parametrize("silu", [False, True])
+    @pytest.mark.parametrize("with_ss", [False, True])
+    def test_matches_reference_formulation(self, monkeypatch, dtype, atol, silu, with_ss):
+        from minimagen_tpu.ops.group_norm import (
+            _xla_forward, _xla_forward_reference,
+        )
+
+        rng = np.random.default_rng(0)
+        b, h, w, c, g = 2, 8, 8, 32, 8
+        x = jnp.asarray(rng.normal(size=(b, h, w, c)) * 1.7 + 0.4, dtype)
+        gamma = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.2 + 1.0)
+        beta = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+        ss = None
+        if with_ss:
+            ss = (jnp.asarray(rng.normal(size=(b, 1, 1, c)), jnp.float32) * 0.3,
+                  jnp.asarray(rng.normal(size=(b, 1, 1, c)), jnp.float32) * 0.3)
+        monkeypatch.setenv("MINIMAGEN_TPU_GN_MOMENTS", "1")
+        out = _xla_forward(x, gamma, beta, ss, silu, g, 1e-5)
+        ref = _xla_forward_reference(x, gamma, beta, ss, silu, g, 1e-5)
+        assert out.dtype == x.dtype
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=atol, rtol=1e-2 if dtype == jnp.bfloat16 else 1e-5)
+
+    def test_env_zero_selects_reference_path(self, monkeypatch):
+        from minimagen_tpu.ops import group_norm as gn
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(1, 4, 4, 8)), jnp.float32)
+        gamma = jnp.ones((8,), jnp.float32)
+        beta = jnp.zeros((8,), jnp.float32)
+        monkeypatch.setenv("MINIMAGEN_TPU_GN_MOMENTS", "0")
+        a = gn._xla_forward(x, gamma, beta, None, False, 2, 1e-5)
+        b = gn._xla_forward_reference(x, gamma, beta, None, False, 2, 1e-5)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gradients_match(self, monkeypatch):
+        from minimagen_tpu.ops.group_norm import (
+            _xla_forward, _xla_forward_reference,
+        )
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(2, 4, 4, 16)), jnp.float32)
+        gamma = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) + 1.0)
+        beta = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+        monkeypatch.setenv("MINIMAGEN_TPU_GN_MOMENTS", "1")
+        g1 = jax.grad(lambda x, g, b: _xla_forward(x, g, b, None, True, 4, 1e-5).sum(),
+                      argnums=(0, 1, 2))(x, gamma, beta)
+        g2 = jax.grad(lambda x, g, b: _xla_forward_reference(x, g, b, None, True, 4, 1e-5).sum(),
+                      argnums=(0, 1, 2))(x, gamma, beta)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)

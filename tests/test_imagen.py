@@ -449,3 +449,41 @@ def test_forward_default_key_is_fresh_entropy(cascade):
     a = cascade.forward(images, text_embeds=embeds, text_masks=mask, unet_number=1)
     b = cascade.forward(images, text_embeds=embeds, text_masks=mask, unet_number=1)
     assert float(a) != float(b)
+
+
+def test_encoder_cache_auto_dispatch(cascade):
+    """'auto' cache_interval resolves per stage via the FLOPs-vs-carry-bytes
+    cost model (round-2 VERDICT next #5): tiny models -> OFF (exact numerics),
+    flagship-sized stages -> N=2."""
+    # tiny cascade: both stages must resolve to OFF
+    for stage in (0, 1):
+        assert cascade._resolve_cache_interval("auto", stage, 4, 6) is None
+    # explicit values pass through untouched
+    assert cascade._resolve_cache_interval(None, 0, 4, 6) is None
+    assert cascade._resolve_cache_interval(3, 0, 4, 6) == 3
+
+    # a flagship-sized base stage must enable caching
+    big = Imagen(unets=[UnetConfig(dim=128, dim_mults=(1, 2, 3, 4),
+                                   num_resnet_blocks=3,
+                                   layer_attns=(False, True, True, True),
+                                   layer_cross_attns=(False, True, True, True),
+                                   text_embed_dim=768)],
+                 image_sizes=(64,), timesteps=1000, cond_drop_prob=0.1,
+                 text_encoder_name="t5_base")
+    stats = big.encoder_cache_cost_model(0, batch_size=8, text_len=64)
+    assert stats["enable"], stats
+    assert big._resolve_cache_interval("auto", 0, 8, 64) == 2
+    # the cost model is abstract: no params were ever initialized
+    assert big.params is None
+
+
+def test_sample_auto_cache_default_matches_exact_on_tiny(cascade):
+    """With the tiny cascade, the 'auto' default must produce bit-identical
+    samples to an explicit exact run (auto resolves to OFF)."""
+    _, embeds, mask = _batch()
+    a = cascade.sample(text_embeds=embeds, text_masks=mask, sampler="ddim",
+                       sample_steps=4, key=jax.random.PRNGKey(9))
+    b = cascade.sample(text_embeds=embeds, text_masks=mask, sampler="ddim",
+                       sample_steps=4, key=jax.random.PRNGKey(9),
+                       cache_interval=None)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -21,13 +21,85 @@ REF_PATH = "/root/reference"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF_PATH), reason="reference not mounted")
 
 
+def _resize_right_torch(input, scale_factors=None, out_shape=None,
+                        interp_method=None, support_sz=None, antialiasing=True,
+                        by_convs=False, scale_tolerance=None, max_numerator=10,
+                        pad_mode="constant"):
+    """Working stand-in for `resize_right.resize` (package not installable
+    offline): applies the exact per-dim resampling matrices from
+    `minimagen_tpu.ops.resize_right` to the torch tensor's last two dims,
+    so full-chain parity tests run the reference through the same resize
+    algorithm the package implements."""
+    import math
+
+    from minimagen_tpu.ops.resize_right import resize_matrix
+
+    in_szs = [int(input.shape[-2]), int(input.shape[-1])]
+    scales = ([float(s) for s in scale_factors]
+              if isinstance(scale_factors, (list, tuple))
+              else [float(scale_factors)] * 2)
+    if out_shape is None:
+        out_shape = [math.ceil(s * i) for s, i in zip(scales, in_szs)]
+    out = input
+    for k in sorted(range(2), key=lambda i: scales[i]):
+        if scales[k] == 1.0 and out_shape[k] == in_szs[k]:
+            continue
+        m = torch.tensor(
+            resize_matrix(in_szs[k], int(out_shape[k]), scales[k], pad_mode),
+            dtype=input.dtype)
+        dim = k - 2
+        out = torch.movedim(
+            torch.tensordot(m, torch.movedim(out, dim, 0), dims=([1], [0])),
+            0, dim)
+    return out
+
+
 def _install_stubs():
     from einops import rearrange, repeat
 
-    if "resize_right" not in sys.modules:
-        m = types.ModuleType("resize_right")
-        m.resize = lambda *a, **k: (_ for _ in ()).throw(NotImplementedError)
-        sys.modules["resize_right"] = m
+    m = sys.modules.get("resize_right") or types.ModuleType("resize_right")
+    m.resize = _resize_right_torch
+    sys.modules["resize_right"] = m
+
+    if "torchvision" not in sys.modules:
+        # reference Imagen.py:10 uses only T.ToPILImage (sample -> PIL) and
+        # training.py Compose/ToTensor; minimal functional equivalents
+        import importlib.machinery
+
+        tv = types.ModuleType("torchvision")
+        # transformers probes importlib.util.find_spec("torchvision"), which
+        # raises on a stub module without a __spec__
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+        tv.__version__ = "0.0.0-stub"
+        tr = types.ModuleType("torchvision.transforms")
+
+        class _ToPILImage:
+            def __call__(self, t):
+                from PIL import Image
+
+                arr = (t.clamp(0, 1) * 255).to(torch.uint8).numpy()
+                return Image.fromarray(arr.transpose(1, 2, 0))
+
+        class _ToTensor:
+            def __call__(self, pic):
+                arr = np.asarray(pic, dtype=np.float32) / 255.0
+                return torch.tensor(arr.transpose(2, 0, 1))
+
+        class _Compose:
+            def __init__(self, fns):
+                self.fns = fns
+
+            def __call__(self, x):
+                for f in self.fns:
+                    x = f(x)
+                return x
+
+        tr.ToPILImage = _ToPILImage
+        tr.ToTensor = _ToTensor
+        tr.Compose = _Compose
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
 
     if "tqdm" not in sys.modules:
         m = types.ModuleType("tqdm")
