@@ -22,10 +22,12 @@ def main():
                         help="ddpm = reference-faithful full-T sampling; ddim = strided fast path")
     parser.add_argument("--SAMPLE_STEPS", dest="SAMPLE_STEPS", type=int, default=None,
                         help="Number of DDIM steps (default min(50, T))")
-    parser.add_argument("--CACHE_INTERVAL", dest="CACHE_INTERVAL", type=int, default=None,
+    parser.add_argument("--CACHE_INTERVAL", dest="CACHE_INTERVAL", default=None,
+                        type=lambda v: v if v == "auto" else int(v),
                         help="encoder-feature caching: recompute the U-Net down path "
                              "every N-th sampler step and reuse it in between "
-                             "(Faster Diffusion; None/1 = off, exact numerics)")
+                             "(Faster Diffusion; 0/1 = off, exact numerics; "
+                             "'auto' = per-stage cost model — the library default)")
     parser.add_argument("--SEED", dest="SEED", type=int, default=None,
                         help="PRNG seed for reproducible samples (default: fresh "
                              "entropy per run, like the reference)")

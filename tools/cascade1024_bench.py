@@ -59,12 +59,20 @@ def build_imagen(dtype=jnp.bfloat16):
     )
 
 
+def _cache_arg(v):
+    return v if v == "auto" else (int(v) or None)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--cache-interval", type=int, default=None,
-                    help="encoder-feature caching (Faster Diffusion); None = off")
+    ap.add_argument("--cache-interval", type=_cache_arg, default="auto",
+                    help="encoder-feature caching (Faster Diffusion): int, "
+                         "0=off, or 'auto' (per-stage cost model; default)")
+    ap.add_argument("--profile", action="store_true",
+                    help="also capture an xplane trace of the 1024px stage "
+                         "alone and print its top-op table (VERDICT r3 #3)")
     args = ap.parse_args()
 
     imagen = build_imagen()
@@ -113,6 +121,41 @@ def main():
                 mem[f"stage{s}_temp_mb"] = round(ma.get("temp_size_in_bytes", 0) / 2**20, 1)
                 mem[f"stage{s}_args_mb"] = round(ma.get("argument_size_in_bytes", 0) / 2**20, 1)
 
+    stage2 = {}
+    if args.profile:
+        # device-time breakdown of the 1024px stage ALONE: run just its
+        # jitted stage fn (synthetic 1024px conditioning) under a trace
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from profile_tpu import summarize_xplane, _find_xplane  # noqa: E402
+
+        from minimagen_tpu.utils.profiling import trace
+
+        b = args.batch
+        lowres = jnp.asarray(rng.uniform(0, 1, (b, 1024, 1024, 3)), jnp.float32)
+        lr_t = imagen.lowres_noise_schedule.get_times(b, 0.2)
+        cache2 = imagen._resolve_cache_interval(args.cache_interval, 2, 2 * b, L)
+        fn = imagen._jitted_sample_stage(2, True, "ddim", args.steps,
+                                         cache_interval=cache2)
+        out = fn(imagen.params["unet_2"], jax.random.PRNGKey(0), embeds, mask,
+                 jnp.float32(3.0), lowres, lr_t)
+        np.asarray(out)  # warm (cache-hit from the full-cascade run)
+        logdir = "/tmp/cascade1024_stage2_trace"
+        with trace(logdir):
+            out = fn(imagen.params["unet_2"], jax.random.PRNGKey(1), embeds, mask,
+                     jnp.float32(3.0), lowres, lr_t)
+            np.asarray(out)
+        sync_s, async_s, top_ops, cats = summarize_xplane(_find_xplane(logdir))
+        stage2 = {
+            "stage2_device_busy_s": round(sync_s, 3),
+            "stage2_device_busy_s_per_image": round(sync_s / b, 3),
+            "stage2_top_categories": {k: round(v, 4) for k, v in
+                                      sorted(cats.items(), key=lambda kv: -kv[1])[:8]},
+            "stage2_top_ops": [(n[:90], round(v * 1e3, 3)) for n, v in top_ops[:10]],
+        }
+        print("stage2 (1024px) top ops (ms):", file=sys.stderr)
+        for n, v in top_ops[:10]:
+            print(f"  {v * 1e3:9.3f}  {n[:110]}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "cascade_64_256_1024_ddim%d_s_per_image" % args.steps,
         "value": round(total / args.batch, 3),
@@ -122,6 +165,7 @@ def main():
         "stage_output_shapes": shapes,
         "first_run_wall_s_incl_compile": round(compile_wall, 1),
         "hbm": mem,
+        **stage2,
     }))
 
 
