@@ -202,7 +202,7 @@ def create_train_state(params, optimizer: optax.GradientTransformation,
 
 def make_train_step(imagen, optimizer: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None, donate: bool = True,
-                    ema_decay: float = 0.9999):
+                    ema_decay: float = 0.9999, jit: bool = True):
     """Build the jitted multi-stage train step.
 
     fn(state, batch, key) -> (state, losses (num_unets,))
@@ -211,6 +211,9 @@ def make_train_step(imagen, optimizer: optax.GradientTransformation,
     When the state carries `ema_params` (create_train_state(ema=True)), they
     are updated as `ema = ema_decay * ema + (1 - ema_decay) * params` each
     step — fused into the same compiled step, zero extra dispatches.
+
+    ``jit=False`` returns the raw traceable step (for callers that embed it
+    in a larger compiled region, e.g. `make_chained_train_step`).
     """
     num_unets = imagen.num_unets
     stage_losses = [imagen.stage_loss_fn(i) for i in range(num_unets)]
@@ -239,6 +242,8 @@ def make_train_step(imagen, optimizer: optax.GradientTransformation,
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state,
                           ema_params=ema), losses
 
+    if not jit:
+        return step_fn
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -251,6 +256,48 @@ def make_train_step(imagen, optimizer: optax.GradientTransformation,
         in_shardings=(None, {"image": bsh, "encoding": bsh, "mask": bsh}, None),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_chained_train_step(imagen, optimizer: optax.GradientTransformation,
+                            *, ema_decay: float = 0.9999, donate: bool = True):
+    """On-device chained training: fn(state, stacked_batches, key, n) runs
+    ``n`` fused train steps inside ONE `lax.fori_loop` dispatch and returns
+    (state, mean per-stage losses over the chain).
+
+    ``stacked_batches`` is a dict of (K, b, ...) device arrays — K pre-staged
+    batches cycled round-robin by step index (`i % K`). The per-step PRNG key
+    folds in the global step counter, so chains compose exactly like
+    individual steps.
+
+    Why: host->device dispatch costs ~0.1-0.3 s through this sandbox's TPU
+    tunnel (and is never free in production), so a per-step Python loop is
+    dispatch-bound — round 2's 10k-step demo spent most of its 42 min there.
+    One dispatch per chain runs at the device rate instead (the same
+    methodology bench.py's slope timing measures). For datasets that fit in
+    HBM (demo/synthetic scale) this is the TPU-native input pipeline; bigger
+    datasets keep the per-step path + device_prefetch.
+    """
+    raw = make_train_step(imagen, optimizer, jit=False, ema_decay=ema_decay)
+    num_unets = imagen.num_unets
+
+    def chain(state: TrainState, stacked, key, n: int):
+        K = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+
+        def body(_, carry):
+            state, acc = carry
+            # round-robin by the GLOBAL step counter (not the loop counter) so
+            # chunked chains compose exactly: chain(a) then chain(b) ==
+            # chain(a + b), matching the per-step path's batch order
+            idx = jnp.asarray(state.step, jnp.int32) % K
+            batch = {k: jax.lax.dynamic_index_in_dim(v, idx, 0, keepdims=False)
+                     for k, v in stacked.items()}
+            state, losses = raw(state, batch, key)
+            return state, acc + losses
+
+        state, acc = jax.lax.fori_loop(0, n, body, (state, jnp.zeros(num_unets)))
+        return state, acc / n
+
+    return jax.jit(chain, static_argnums=3, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(imagen, mesh: Optional[Mesh] = None):

@@ -347,3 +347,67 @@ def test_ema_train_state_update():
     step_off = make_train_step(imagen, opt)
     out, _ = step_off(state_off, batch, jax.random.PRNGKey(9))
     assert out.ema_params is None
+
+
+def test_chained_train_step_matches_individual_steps():
+    """make_chained_train_step must be bit-equivalent to the per-step path:
+    same key protocol (fold_in on the global step counter), same round-robin
+    batch order — one dispatch instead of n (the TPU-native input path for
+    HBM-resident datasets)."""
+    import numpy as np
+
+    from minimagen_tpu.models.imagen import Imagen
+    from minimagen_tpu.models.unet import BaseTest
+    from minimagen_tpu.parallel.mesh import (
+        create_train_state, make_chained_train_step, make_optimizer,
+        make_train_step,
+    )
+
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(8,), timesteps=25,
+                    cond_drop_prob=0.1, text_encoder_name="t5_small")
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=4)
+    opt = make_optimizer(1e-3)
+
+    rng = np.random.default_rng(0)
+    K, b = 3, 2
+    stacked = {
+        "image": jnp.asarray(rng.uniform(0, 1, (K, b, 8, 8, 3)), jnp.float32),
+        "encoding": jnp.asarray(rng.normal(size=(K, b, 4, 512)), jnp.float32),
+        "mask": jnp.ones((K, b, 4), jnp.bool_),
+    }
+    key = jax.random.PRNGKey(5)
+    n = 5
+
+    state_a = create_train_state(imagen.params, opt, ema=True)
+    step = make_train_step(imagen, opt, donate=False, ema_decay=0.9)
+    indiv_losses = []
+    for i in range(n):
+        batch = {k: v[i % K] for k, v in stacked.items()}
+        state_a, l = step(state_a, batch, key)
+        indiv_losses.append(np.asarray(l))
+
+    state_b = create_train_state(imagen.params, opt, ema=True)
+    chain = make_chained_train_step(imagen, opt, ema_decay=0.9, donate=False)
+    state_b, mean_losses = chain(state_b, stacked, key, n)
+
+    # same trajectory semantics: the chain's mean loss equals the mean of the
+    # individually-dispatched losses (bitwise param equality is not expected
+    # across differently-compiled graphs — float reassociation amplified by
+    # early-Adam rsqrt; the loss sequence is the semantic check)
+    assert int(state_b.step) == n == int(state_a.step)
+    np.testing.assert_allclose(np.asarray(mean_losses),
+                               np.mean(indiv_losses, axis=0), rtol=1e-5)
+
+    # chunked chains compose EXACTLY (same compiled body + step-folded keys):
+    # chain(2) then chain(3) == chain(5) bitwise — what the chunked logging
+    # loop in examples/train_sr_tpu.py relies on
+    state_c = create_train_state(imagen.params, opt, ema=True)
+    state_c, _ = chain(state_c, stacked, key, 2)
+    state_c3, _ = chain(state_c, stacked, key, 3)
+    assert int(state_c3.step) == n
+    for a, b_ in zip(jax.tree_util.tree_leaves(state_b.params),
+                     jax.tree_util.tree_leaves(state_c3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    for a, b_ in zip(jax.tree_util.tree_leaves(state_b.ema_params),
+                     jax.tree_util.tree_leaves(state_c3.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

@@ -153,7 +153,7 @@ def build_train():
     from __graft_entry__ import _flagship_imagen
     from minimagen_tpu.parallel.mesh import GRAD_CLIP_NORM
 
-    batch, L = 8, 64
+    batch, L = int(os.environ.get("PROF_TRAIN_BATCH", "8")), 64
     imagen = _flagship_imagen(dtype=jnp.bfloat16)
     imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=L, stages=[0])
     loss_fn = imagen.stage_loss_fn(0)
