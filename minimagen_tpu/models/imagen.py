@@ -491,6 +491,9 @@ class Imagen:
         estimate and the enable decision. Measured calibration (BASELINE.md):
         the dim-128 flagship wins (~11% wall), dim<=48 demo models lose.
         """
+        memo_key = ("cache_cost", stage, batch_size, text_len, interval)
+        if memo_key in self._jit_cache:
+            return self._jit_cache[memo_key]
         cfg, model = self.unet_configs[stage], self.unets[stage]
         size = self.image_sizes[stage]
         x = jax.ShapeDtypeStruct((batch_size, size, size, self.channels), jnp.float32)
@@ -524,7 +527,7 @@ class Imagen:
 
         saved_s = down_flops * (1.0 - 1.0 / interval) / self._MXU_EFF_FLOPS
         cost_s = 2.0 * cache_bytes / self._HBM_BYTES_PER_S + self._CACHE_COND_OVERHEAD_S
-        return {
+        self._jit_cache[memo_key] = result = {
             "cache_bytes": cache_bytes,
             "down_flops_est": down_flops,
             "saved_s_per_step": saved_s,
@@ -537,6 +540,7 @@ class Imagen:
             # stays off.
             "enable": saved_s > 1.5 * cost_s,
         }
+        return result
 
     def _resolve_cache_interval(self, cache_interval, stage: int,
                                 batch_size: int, text_len: int):
