@@ -162,10 +162,19 @@ class TrainState:
     ema_params: Any = None
 
 
-def make_optimizer(lr: float, accum_iter: int = 1) -> optax.GradientTransformation:
+def make_optimizer(lr: float, accum_iter: int = 1,
+                   mu_dtype=None) -> optax.GradientTransformation:
     """Adam + global-norm clip 50 (reference train.py:100, training.py:372),
-    with ACCUM_ITER-step gradient accumulation."""
-    tx = optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM), optax.adam(lr))
+    with ACCUM_ITER-step gradient accumulation.
+
+    :param mu_dtype: dtype for Adam's first moment (optax `adam(mu_dtype=)`).
+        `jnp.bfloat16` halves the m-buffer HBM traffic in the update fusions
+        (the Adam update is bandwidth-bound; profile in BASELINE.md) at a
+        mild precision cost on the momentum term. Default None = float32
+        (reference numerics).
+    """
+    tx = optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM),
+                     optax.adam(lr, mu_dtype=mu_dtype))
     if accum_iter > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_iter)
     return tx

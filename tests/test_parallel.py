@@ -411,3 +411,39 @@ def test_chained_train_step_matches_individual_steps():
     for a, b_ in zip(jax.tree_util.tree_leaves(state_b.ema_params),
                      jax.tree_util.tree_leaves(state_c3.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_optimizer_bf16_first_moment():
+    """make_optimizer(mu_dtype=bf16) trains with a bf16 first moment (halves
+    m-buffer HBM traffic in the bandwidth-bound Adam update fusions)."""
+    import numpy as np
+
+    from minimagen_tpu.models.imagen import Imagen
+    from minimagen_tpu.models.unet import BaseTest
+    from minimagen_tpu.parallel.mesh import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(8,), timesteps=25,
+                    cond_drop_prob=0.1, text_encoder_name="t5_small")
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=4)
+    opt = make_optimizer(1e-3, mu_dtype=jnp.bfloat16)
+    state = create_train_state(imagen.params, opt)
+    # the mu tree is bf16
+    mu_leaves = jax.tree_util.tree_leaves(state.opt_state)
+    assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in mu_leaves)
+    step = make_train_step(imagen, opt, donate=False)
+    batch = {
+        "image": jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 8, 8, 3)),
+                             jnp.float32),
+        "encoding": jnp.asarray(np.random.default_rng(1).normal(size=(2, 4, 512)),
+                                jnp.float32),
+        "mask": jnp.ones((2, 4), jnp.bool_),
+    }
+    s1, l1 = step(state, batch, jax.random.PRNGKey(2))
+    s2, l2 = step(s1, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(l1[0])) and np.isfinite(float(l2[0]))
+    # params actually moved and stayed f32
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(s2.params)[0]
+    assert a.dtype == jnp.float32 and not np.allclose(np.asarray(a), np.asarray(b))
