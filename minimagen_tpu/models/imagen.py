@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.attention import training_graph
 from ..ops.diffusion import GaussianDiffusion, create_gaussian_diffusion
 from ..ops.helpers import (
     cast_tuple,
@@ -849,11 +850,17 @@ class Imagen:
             )
 
         keep_mask = prob_mask_like(drop_key, (x_start.shape[0],), 1.0 - self.cond_drop_prob)
-        pred = self._unet_forward(
-            stage, unet_params, x_noisy, times,
-            text_embeds=text_embeds, text_mask=text_mask, text_keep_mask=keep_mask,
-            lowres_cond_img=lowres_cond_img_noisy, lowres_noise_times=lowres_aug_times,
-        )
+        # Trace the U-Net forward with the training-graph flag set: XLA-path
+        # attention (short-KV cross/self shapes under the Pallas threshold)
+        # picks up the bandwidth-lean custom-VJP backward
+        # (ops/attention.py::training_graph). Sampling graphs never enter
+        # here, so their HLO — and the warm TPU compile cache — is untouched.
+        with training_graph():
+            pred = self._unet_forward(
+                stage, unet_params, x_noisy, times,
+                text_embeds=text_embeds, text_mask=text_mask, text_keep_mask=keep_mask,
+                lowres_cond_img=lowres_cond_img_noisy, lowres_noise_times=lowres_aug_times,
+            )
         return self.loss_fn(pred, noise)
 
     def stage_loss_fn(self, stage: int):

@@ -17,12 +17,127 @@ place so it can dispatch to the Pallas flash-attention kernel on TPU
 """
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30  # large negative for masking pre-softmax logits (f32-safe)
+
+# --------------------------------------------------------------------------- #
+# trace-time training-graph flag                                              #
+#                                                                             #
+# Loss builders (Imagen._p_losses) trace their U-Net forward inside           #
+# `training_graph()`.  Attention shapes that stay on the XLA path (short KV   #
+# under the Pallas dispatch threshold — notably cross-attention, n up to 4096 #
+# queries over ~257 text tokens) then route through a custom-VJP whose        #
+# backward recomputes the probabilities and runs every (n x j) matmul in the  #
+# activation dtype with f32 accumulation, instead of autodiff's f32 einsum    #
+# chain (which materializes + relayouts multiple f32 (b,h,n,j) tensors —      #
+# measured ~2 ms/step of 'copy' + f32-rate matmuls in the round-3 train-step  #
+# profile, BASELINE.md).  Sampling graphs never set the flag, so inference    #
+# HLO — and the warm TPU compile cache for the cascade graphs — is untouched. #
+# --------------------------------------------------------------------------- #
+_TRAIN_BWD_ENV = "MINIMAGEN_TPU_XLA_ATTN_BWD"          # '0' disables the rework
+_TRAIN_BWD_MIN_ENV = "MINIMAGEN_TPU_XLA_ATTN_BWD_MIN"  # min n*j to engage
+_TRAIN_BWD_MIN_DEFAULT = 65536                          # ~256 queries x 257 kv
+_training_graph_depth = 0
+
+
+@contextlib.contextmanager
+def training_graph():
+    """Mark the enclosed trace as a training (differentiated) graph."""
+    global _training_graph_depth
+    _training_graph_depth += 1
+    try:
+        yield
+    finally:
+        _training_graph_depth -= 1
+
+
+def _use_train_bwd(n: int, j: int) -> bool:
+    if _training_graph_depth == 0 or os.environ.get(_TRAIN_BWD_ENV, "1") == "0":
+        return False
+    return n * j >= int(os.environ.get(_TRAIN_BWD_MIN_ENV, _TRAIN_BWD_MIN_DEFAULT))
+
+
+def _mask_bias(mask: Optional[jnp.ndarray], b: int, j: int) -> jnp.ndarray:
+    """Additive f32 logit bias equivalent to the boolean mask (True=keep).
+
+    NEG_INF absorbs any finite logit in f32 (|sim| << 1e30), so `sim + bias`
+    softmaxes identically to the where-replacement in `_masked_softmax_f32`.
+    """
+    if mask is None:
+        return jnp.zeros((b, 1, 1, j), jnp.float32)
+    return jnp.where(mask[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
+
+
+@jax.custom_vjp
+def _mqa_xla_attn(q, k, v, bias):
+    """XLA multi-query attention with a bandwidth-lean training backward."""
+    sim = jnp.einsum("bhnd,bjd->bhnj", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(sim + bias, axis=-1)
+    out = jnp.einsum("bhnj,bjd->bhnd", p.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def _mqa_xla_fwd(q, k, v, bias):
+    return _mqa_xla_attn(q, k, v, bias), (q, k, v, bias)
+
+
+def _mqa_xla_bwd(res, g):
+    q, k, v, bias = res
+    sim = jnp.einsum("bhnd,bjd->bhnj", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(sim + bias, axis=-1)               # recomputed, f32
+    pb = p.astype(v.dtype)
+    gb = g.astype(v.dtype)
+    dp = jnp.einsum("bhnd,bjd->bhnj", gb, v, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+    dq = jnp.einsum("bhnj,bjd->bhnd", dsb, k, preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhnj,bhnd->bjd", dsb, q, preferred_element_type=jnp.float32)
+    dv = jnp.einsum("bhnj,bhnd->bjd", pb, gb, preferred_element_type=jnp.float32)
+    # bias is always mask-derived (jnp.where over a bool) or literal zeros —
+    # its cotangent dies upstream; zeros avoid an extra pass over (b,h,n,j).
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(bias))
+
+
+_mqa_xla_attn.defvjp(_mqa_xla_fwd, _mqa_xla_bwd)
+
+
+@jax.custom_vjp
+def _mha_xla_attn(q, k, v, bias):
+    """XLA multi-head attention with a bandwidth-lean training backward."""
+    sim = jnp.einsum("bhnd,bhjd->bhnj", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(sim + bias, axis=-1)
+    out = jnp.einsum("bhnj,bhjd->bhnd", p.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def _mha_xla_fwd(q, k, v, bias):
+    return _mha_xla_attn(q, k, v, bias), (q, k, v, bias)
+
+
+def _mha_xla_bwd(res, g):
+    q, k, v, bias = res
+    sim = jnp.einsum("bhnd,bhjd->bhnj", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(sim + bias, axis=-1)
+    pb = p.astype(v.dtype)
+    gb = g.astype(v.dtype)
+    dp = jnp.einsum("bhnd,bhjd->bhnj", gb, v, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
+    dq = jnp.einsum("bhnj,bhjd->bhnd", dsb, k, preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhnj,bhnd->bhjd", dsb, q, preferred_element_type=jnp.float32)
+    dv = jnp.einsum("bhnj,bhnd->bhjd", pb, gb, preferred_element_type=jnp.float32)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(bias))
+
+
+_mha_xla_attn.defvjp(_mha_xla_fwd, _mha_xla_bwd)
 
 
 def _masked_softmax_f32(sim: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -58,6 +173,8 @@ def multi_query_attention(
 
         if use_pallas(q.shape[2], k.shape[1]):
             return mqa_flash(q, k, v)
+    if attn_bias is None and _use_train_bwd(q.shape[2], k.shape[1]):
+        return _mqa_xla_attn(q, k, v, _mask_bias(mask, q.shape[0], k.shape[1]))
     sim = jnp.einsum("bhnd,bjd->bhnj", q, k, preferred_element_type=jnp.float32)
     if attn_bias is not None:
         sim = sim + attn_bias
@@ -85,6 +202,8 @@ def multi_head_attention(
 
         if use_pallas(q.shape[2], k.shape[2]):
             return mha_flash(q, k, v)
+    if _use_train_bwd(q.shape[2], k.shape[2]):
+        return _mha_xla_attn(q, k, v, _mask_bias(mask, q.shape[0], k.shape[2]))
     sim = jnp.einsum("bhnd,bhjd->bhnj", q, k, preferred_element_type=jnp.float32)
     if mask is not None:
         mask = mask[:, None, None, :]
