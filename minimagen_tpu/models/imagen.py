@@ -41,6 +41,7 @@ import numpy as np
 from ..ops.attention import training_graph
 from ..ops.diffusion import GaussianDiffusion, create_gaussian_diffusion
 from ..ops.helpers import (
+    abs_quantile_bisect,
     cast_tuple,
     default,
     exists,
@@ -290,13 +291,26 @@ class Imagen:
         x_start = scheduler.predict_start_from_noise(x, t=t, noise=pred)
 
         # dynamic thresholding: per-image s = quantile(|x0|, p) clamped >= 1;
-        # clamp to +/- s and divide by s (reference Imagen.py:309-323)
+        # clamp to +/- s and divide by s (reference Imagen.py:309-323).
+        # Megapixel rows use CDF bisection instead of the sort jnp.quantile
+        # lowers to: XLA:TPU sorts cost ~27 ms per f32[4, 3.1M] call — 16% of
+        # the 1024px stage's device time — vs ~1.4 ms of counting passes
+        # (abs_quantile_bisect docstring has the measured table). Small rows
+        # (64/256px stages) keep the exact sort, so their graphs/numerics are
+        # untouched. Env: MINIMAGEN_TPU_APPROX_THRESHOLD_MIN = element count
+        # at which bisection engages (default 2**21; huge value disables).
         b = x_start.shape[0]
-        s = jnp.quantile(
-            jnp.abs(x_start.reshape(b, -1)).astype(jnp.float32),
-            self.dynamic_thresholding_percentile,
-            axis=-1,
-        )
+        flat = jnp.abs(x_start.reshape(b, -1)).astype(jnp.float32)
+        approx_min = int(os.environ.get("MINIMAGEN_TPU_APPROX_THRESHOLD_MIN",
+                                        2**21))
+        if flat.shape[-1] >= approx_min:
+            s = abs_quantile_bisect(flat, self.dynamic_thresholding_percentile)
+        else:
+            s = jnp.quantile(
+                flat,
+                self.dynamic_thresholding_percentile,
+                axis=-1,
+            )
         s = jnp.clip(s, 1.0, None)
         s = right_pad_dims_to(x_start, s).astype(x_start.dtype)
         x_start = jnp.clip(x_start, -s, s) / s
@@ -850,11 +864,13 @@ class Imagen:
             )
 
         keep_mask = prob_mask_like(drop_key, (x_start.shape[0],), 1.0 - self.cond_drop_prob)
-        # Trace the U-Net forward with the training-graph flag set: XLA-path
-        # attention (short-KV cross/self shapes under the Pallas threshold)
-        # picks up the bandwidth-lean custom-VJP backward
-        # (ops/attention.py::training_graph). Sampling graphs never enter
-        # here, so their HLO — and the warm TPU compile cache — is untouched.
+        # Trace the U-Net forward with the training-graph flag set: with
+        # MINIMAGEN_TPU_XLA_ATTN_BWD=1, XLA-path attention (short-KV
+        # cross/self shapes under the Pallas threshold) picks up the
+        # recompute custom-VJP backward (opt-in — measured 1.6% negative on
+        # the flagship, table in ops/attention.py). Sampling graphs never
+        # enter here, so their HLO — and the warm compile cache — is
+        # untouched either way.
         with training_graph():
             pred = self._unet_forward(
                 stage, unet_params, x_noisy, times,

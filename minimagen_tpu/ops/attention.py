@@ -30,17 +30,32 @@ NEG_INF = -1e30  # large negative for masking pre-softmax logits (f32-safe)
 # trace-time training-graph flag                                              #
 #                                                                             #
 # Loss builders (Imagen._p_losses) trace their U-Net forward inside           #
-# `training_graph()`.  Attention shapes that stay on the XLA path (short KV   #
-# under the Pallas dispatch threshold — notably cross-attention, n up to 4096 #
-# queries over ~257 text tokens) then route through a custom-VJP whose        #
-# backward recomputes the probabilities and runs every (n x j) matmul in the  #
-# activation dtype with f32 accumulation, instead of autodiff's f32 einsum    #
-# chain (which materializes + relayouts multiple f32 (b,h,n,j) tensors —      #
-# measured ~2 ms/step of 'copy' + f32-rate matmuls in the round-3 train-step  #
-# profile, BASELINE.md).  Sampling graphs never set the flag, so inference    #
-# HLO — and the warm TPU compile cache for the cascade graphs — is untouched. #
+# `training_graph()`.  With MINIMAGEN_TPU_XLA_ATTN_BWD=1, attention shapes    #
+# that stay on the XLA path (short KV under the Pallas dispatch threshold —   #
+# notably cross-attention, n up to 4096 queries over ~259 text tokens) route  #
+# through a custom-VJP whose backward recomputes the probabilities and runs   #
+# every (n x j) matmul in the activation dtype with f32 accumulation,         #
+# instead of autodiff's f32 einsum chain.                                     #
+#                                                                             #
+# SHIPS OFF: measured a 1.6% NEGATIVE on the flagship train step (same-       #
+# session A/B through tools/profile_tpu.py, one v5e chip, 2026-08-17):        #
+#                                                                             #
+#   | config                   | ms/step | copy  | fusion  |                  #
+#   |--------------------------|---------|-------|---------|                  #
+#   | autodiff (default)       | 21.575  | 2.039 | 16.188  |                  #
+#   | custom-VJP rework (=1)   | 21.910  | 2.065 | 16.474  |                  #
+#                                                                             #
+# The hypothesized win (killing the f32[8,8,1024,259] relayout copy pairs     #
+# around the cross-attention backward) did not materialize: the copies        #
+# persisted at ~135 us/step each (XLA's layout assignment re-emits them       #
+# around the recomputed ds), and the extra QK^T+softmax recompute pass        #
+# outweighed the bf16 matmul savings — the autodiff chain's big wgrad/einsum  #
+# fusions were already near roofline.  Kept behind the env for future shapes  #
+# (e.g. much longer text contexts) where the f32 (b,h,n,j) traffic dominates. #
+# Sampling graphs never set the flag either way, so inference HLO — and the   #
+# warm TPU compile cache for the cascade graphs — is untouched.               #
 # --------------------------------------------------------------------------- #
-_TRAIN_BWD_ENV = "MINIMAGEN_TPU_XLA_ATTN_BWD"          # '0' disables the rework
+_TRAIN_BWD_ENV = "MINIMAGEN_TPU_XLA_ATTN_BWD"          # '1' enables the rework
 _TRAIN_BWD_MIN_ENV = "MINIMAGEN_TPU_XLA_ATTN_BWD_MIN"  # min n*j to engage
 _TRAIN_BWD_MIN_DEFAULT = 65536                          # ~256 queries x 257 kv
 _training_graph_depth = 0
@@ -58,7 +73,7 @@ def training_graph():
 
 
 def _use_train_bwd(n: int, j: int) -> bool:
-    if _training_graph_depth == 0 or os.environ.get(_TRAIN_BWD_ENV, "1") == "0":
+    if _training_graph_depth == 0 or os.environ.get(_TRAIN_BWD_ENV, "0") == "0":
         return False
     return n * j >= int(os.environ.get(_TRAIN_BWD_MIN_ENV, _TRAIN_BWD_MIN_DEFAULT))
 

@@ -487,3 +487,46 @@ def test_sample_auto_cache_default_matches_exact_on_tiny(cascade):
                        sample_steps=4, key=jax.random.PRNGKey(9),
                        cache_interval=None)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_abs_quantile_bisect_matches_exact():
+    """CDF-bisection quantile (megapixel dynamic-threshold path) vs
+    jnp.quantile: agreement to ~1e-5 relative on random rows, including a
+    heavy-tailed row and a constant row."""
+    from minimagen_tpu.ops.helpers import abs_quantile_bisect
+
+    rng = np.random.default_rng(0)
+    rows = np.stack([
+        rng.normal(0, 1, 40000),
+        rng.standard_cauchy(40000),          # heavy tail
+        np.full(40000, 2.5),                 # constant
+    ]).astype(np.float32)
+    got = np.asarray(abs_quantile_bisect(jnp.asarray(rows), 0.9))
+    ref = np.quantile(np.abs(rows), 0.9, axis=-1)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_dynamic_threshold_dispatch_by_size(monkeypatch):
+    """_predict_x_start uses the sort quantile below the element threshold
+    and the bisection above it (checked via the jaxpr: 'sort' disappears)."""
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(8,), timesteps=25,
+                    cond_drop_prob=0.1, text_encoder_name="t5_small")
+    imagen.init_params(KEY)
+    embeds = jnp.zeros((1, 4, 512))
+    mask = jnp.ones((1, 4), bool)
+
+    def threshold_jaxpr():
+        def f(x):
+            return imagen._predict_x_start(
+                0, imagen.noise_schedulers[0], imagen.params["unet_0"], x,
+                jnp.array([24]), text_embeds=embeds, text_mask=mask,
+                lowres_cond_img=None, lowres_noise_times=None,
+                cond_scale=1.0, guided=False)
+        return str(jax.make_jaxpr(f)(jnp.ones((1, 8, 8, 3))))
+
+    # 8*8*3 = 192 elements: below any sane threshold -> exact sort path
+    # (the primitive prints as 'sort[...' in the jaxpr; plain 'sort' also
+    # matches gather's indices_are_sorted attribute, so match the bracket)
+    assert "sort[" in threshold_jaxpr()
+    monkeypatch.setenv("MINIMAGEN_TPU_APPROX_THRESHOLD_MIN", "64")
+    assert "sort[" not in threshold_jaxpr()

@@ -148,8 +148,7 @@ def main():
         stage2 = {
             "stage2_device_busy_s": round(sync_s, 3),
             "stage2_device_busy_s_per_image": round(sync_s / b, 3),
-            "stage2_top_categories": {k: round(v, 4) for k, v in
-                                      sorted(cats.items(), key=lambda kv: -kv[1])[:8]},
+            "stage2_top_categories": {k: round(v, 4) for k, v in cats[:8]},
             "stage2_top_ops": [(n[:90], round(v * 1e3, 3)) for n, v in top_ops[:10]],
         }
         print("stage2 (1024px) top ops (ms):", file=sys.stderr)

@@ -157,7 +157,11 @@ def build_train():
     imagen = _flagship_imagen(dtype=jnp.bfloat16)
     imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=L, stages=[0])
     loss_fn = imagen.stage_loss_fn(0)
-    opt = optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM), optax.adam(1e-4))
+    # PROF_MU_DTYPE=bf16 measures make_optimizer(mu_dtype=bf16)'s effect on
+    # the bandwidth-bound Adam update fusions (BASELINE.md train breakdown)
+    mu = jnp.bfloat16 if os.environ.get("PROF_MU_DTYPE") == "bf16" else None
+    opt = optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM),
+                      optax.adam(1e-4, mu_dtype=mu))
     params = imagen.params["unet_0"]
     opt_state = opt.init(params)
     rng = np.random.default_rng(0)
