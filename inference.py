@@ -31,6 +31,10 @@ def main():
     parser.add_argument("--SEED", dest="SEED", type=int, default=None,
                         help="PRNG seed for reproducible samples (default: fresh "
                              "entropy per run, like the reference)")
+    parser.add_argument("--MESH", dest="MESH", choices=["none", "data"], default="none",
+                        help="multi-chip serving: 'data' shards the caption batch "
+                             "over all devices (requires len(captions) divisible "
+                             "by the device count; numerics identical to 'none')")
     args = parser.parse_args()
 
     if args.CAPTIONS is None:
@@ -51,6 +55,9 @@ def main():
     if args.SEED is not None:
         import jax
         sample_args["key"] = jax.random.PRNGKey(args.SEED)
+    if args.MESH == "data":
+        from minimagen_tpu.parallel.mesh import make_mesh
+        sample_args["mesh"] = make_mesh()
     sample_and_save(captions, training_directory=args.TRAINING_DIRECTORY,
                     sample_args=sample_args)
 

@@ -622,6 +622,7 @@ class Imagen:
         progress: bool = False,
         cache_interval: Union[int, str, None] = "auto",
         device=None,
+        mesh=None,
     ):
         """Generate images for captions (reference Imagen.py:422-510).
 
@@ -654,6 +655,16 @@ class Imagen:
         :param sample_steps: number of DDIM steps (default min(50, T)).
         :param device: accepted for reference API parity (Imagen.py:432) and
             ignored — placement follows the params' sharding.
+        :param mesh: optional `jax.sharding.Mesh` with ('data', 'model') axes
+            for multi-chip serving: the batch is sharded over 'data' (each
+            chip denoises its slice; zero collectives on the hot path) and
+            wide kernels optionally over 'model' (GSPMD tensor parallelism).
+            `batch_size` must divide by the data-axis size. Numerics are
+            IDENTICAL to single-device sampling at the same key (threefry
+            counters are index-based, so partitioned noise == unpartitioned;
+            pinned by tests/test_parallel.py). The reference has no
+            distributed inference at all (Imagen.py:180-259 swaps inactive
+            U-Nets to CPU instead).
         :return: (b, s, s, c) images in [0,1] from the final stage, or PIL
             images if `return_pil_images`.
         """
@@ -675,6 +686,22 @@ class Imagen:
 
         batch_size = text_embeds.shape[0]
         noise_level = default(lowres_sample_noise_level, self.lowres_sample_noise_level)
+
+        if mesh is not None:
+            # multi-chip serving: batch over 'data', params replicated (wide
+            # kernels sharded over 'model' where the mesh has one); every
+            # downstream jit compiles for these shardings via GSPMD
+            from ..parallel.mesh import (  # noqa: PLC0415
+                batch_sharding, infer_param_shardings, place_params,
+            )
+            n_data = mesh.shape["data"]
+            assert batch_size % n_data == 0, (
+                f"batch size {batch_size} must divide the mesh data axis {n_data}")
+            data_sh = batch_sharding(mesh)
+            text_embeds = jax.device_put(text_embeds, data_sh)
+            if text_masks is not None:
+                text_masks = jax.device_put(text_masks, data_sh)
+            params = place_params(params, infer_param_shardings(params, mesh))
 
         if cond_scale != 1.0:
             assert self.can_classifier_guidance, (

@@ -280,8 +280,13 @@ def test_mesh_run_checkpoints_orbax_and_resumes_on_different_mesh(tmp_path, monk
     imagen = _tiny_imagen()
     run_dir = str(tmp_path / "training_mesh")
     training_dir = create_directory(run_dir)
+    # timeout=0: this test does EXACT step accounting — under a loaded host
+    # (full suite + a concurrent bench on this 1-core sandbox) the 60 s batch
+    # watchdog can legitimately fire and skip a batch, which is the watchdog
+    # working, not resume breaking (test_e2e covers the watchdog itself)
     summary = MinimagenTrain("m", args, imagen.unet_configs, imagen, train_dl, valid_dl,
-                             training_dir, make_optimizer(1e-4), mesh=make_mesh())
+                             training_dir, make_optimizer(1e-4), mesh=make_mesh(),
+                             timeout=0)
     first_steps = summary["final_step"]
     assert first_steps > 0
     assert os.path.isdir(os.path.join(run_dir, "tmp", ORBAX_STATE_DIR))
@@ -294,7 +299,7 @@ def test_mesh_run_checkpoints_orbax_and_resumes_on_different_mesh(tmp_path, monk
     training_dir2 = create_directory(run_dir2)
     summary2 = MinimagenTrain("m2", args, imagen2.unet_configs, imagen2, train_dl, valid_dl,
                               training_dir2, make_optimizer(1e-4),
-                              mesh=make_mesh(model_parallel=2))
+                              mesh=make_mesh(model_parallel=2), timeout=0)
     assert summary2["final_step"] == first_steps + summary["final_step"], \
         "resumed run must continue the step counter"
 
@@ -447,3 +452,73 @@ def test_optimizer_bf16_first_moment():
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(s2.params)[0]
     assert a.dtype == jnp.float32 and not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_mesh_sharded_sampling_matches_single_device():
+    """sample(mesh=...) — multi-chip data-parallel serving — must produce
+    IDENTICAL images to single-device sampling at the same key (threefry
+    noise is index-based, so GSPMD-partitioned draws match unpartitioned)."""
+    imagen = _tiny_imagen(cond_drop=0.1)
+    L = 4
+    rng = np.random.default_rng(7)
+    embeds = jnp.asarray(rng.normal(size=(8, L, 512)), jnp.float32)
+    mask = jnp.ones((8, L), jnp.bool_)
+    key = jax.random.PRNGKey(11)
+
+    plain = imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                          sampler="ddim", sample_steps=5, key=key)
+
+    mesh = make_mesh()  # {'data': 8, 'model': 1}
+    sharded = imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                            sampler="ddim", sample_steps=5, key=key, mesh=mesh)
+    assert sharded.sharding.is_equivalent_to(batch_sharding(mesh), ndim=4)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_mesh_sharded_sampling_tensor_parallel():
+    """sample(mesh=...) with a model axis: wide kernels shard over 'model'
+    and the output still matches single-device numerics."""
+    imagen = Imagen(
+        unets=[UnetConfig(dim=64, dim_mults=(1, 2), num_resnet_blocks=1,
+                          layer_attns=False, layer_cross_attns=(False, True))],
+        image_sizes=(8,), timesteps=25, cond_drop_prob=0.1,
+        text_encoder_name="t5_small")
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=4)
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.normal(size=(4, 4, 512)), jnp.float32)
+    mask = jnp.ones((4, 4), jnp.bool_)
+    key = jax.random.PRNGKey(13)
+
+    plain = imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=2.0,
+                          sampler="ddim", sample_steps=4, key=key)
+    mesh = make_mesh(model_parallel=2)  # {'data': 4, 'model': 2}
+    sharded = imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=2.0,
+                            sampler="ddim", sample_steps=4, key=key, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded),
+                               rtol=5e-5, atol=5e-6)
+
+
+def test_mesh_sharded_cascade_sampling_two_stage():
+    """The full 2-stage cascade under sample(mesh=...): the inter-stage
+    resize + lowres noising run on the data-sharded stage-1 output."""
+    imagen = Imagen(
+        unets=[BaseTest(), UnetConfig(dim=16, dim_mults=(1, 2), num_resnet_blocks=1,
+                                      layer_attns=False, layer_cross_attns=(False, True),
+                                      lowres_cond=True, memory_efficient=True)],
+        image_sizes=(8, 16), timesteps=25, cond_drop_prob=0.1,
+        text_encoder_name="t5_small")
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=4)
+    rng = np.random.default_rng(9)
+    embeds = jnp.asarray(rng.normal(size=(8, 4, 512)), jnp.float32)
+    mask = jnp.ones((8, 4), jnp.bool_)
+    key = jax.random.PRNGKey(17)
+
+    plain = imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                          sampler="ddim", sample_steps=3, key=key)
+    mesh = make_mesh()
+    sharded = imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                            sampler="ddim", sample_steps=3, key=key, mesh=mesh)
+    assert sharded.shape == (8, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded),
+                               rtol=2e-5, atol=2e-6)
