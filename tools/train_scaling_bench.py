@@ -10,7 +10,9 @@ comparable with BENCH_r0N's `train_steps_per_sec_batch8`.
 
 Env: SCALE_CONFIGS="8,16,32,8:bf16" — comma-separated `batch[:bf16]` rows
 (`:bf16` = Adam first moment in bfloat16; default f32 = reference
-numerics). SCALE_STEPS chain length (default 12). One JSON line per row;
+numerics). SCALE_STEPS chain length (default 48, like bench.py's 50: the
+slope delta must dwarf the ~0.1-0.3 s/dispatch tunnel jitter — 12/36-step
+chains give a >=0.5 s delta at batch 8). One JSON line per row;
 each new (batch, mu_dtype) is a fresh XLA graph — budget a cold compile
 (~15-30 min through the remote tunnel) per new row.
 
@@ -81,7 +83,7 @@ def bench_row(batch: int, mu_dtype, steps: int):
         np.asarray(jax.tree_util.tree_leaves(out)[0])
 
     t0 = time.perf_counter()
-    sec_per_step = _slope_time(run, max(steps // 4, 3), max(steps // 4, 3) * 3)
+    sec_per_step = _slope_time(run, max(steps // 4, 4), max(steps // 4, 4) * 3)
     total_s = time.perf_counter() - t0
 
     import optax
@@ -117,7 +119,7 @@ def bench_row(batch: int, mu_dtype, steps: int):
 
 
 def main():
-    steps = int(os.environ.get("SCALE_STEPS", "12"))
+    steps = int(os.environ.get("SCALE_STEPS", "48"))
     configs = os.environ.get("SCALE_CONFIGS", "8,16,32,8:bf16")
     for spec in configs.split(","):
         spec = spec.strip()
