@@ -213,6 +213,9 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(denoise_sps / torch_sps, 2),
         "extra": {
+            # serving rate derived from the same denoise measurement (batch 4
+            # is the measured per-chip optimum — tools/denoise_scaling_bench.py)
+            "serving_images_per_sec_ddim50": round(denoise_sps * batch / 50, 3),
             "train_steps_per_sec_batch8": round(train_sps, 3),
             "train_mfu_vs_197tflops": (
                 round(train_mfu, 4) if train_mfu is not None else None),
