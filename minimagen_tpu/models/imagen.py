@@ -292,17 +292,19 @@ class Imagen:
 
         # dynamic thresholding: per-image s = quantile(|x0|, p) clamped >= 1;
         # clamp to +/- s and divide by s (reference Imagen.py:309-323).
-        # Megapixel rows use CDF bisection instead of the sort jnp.quantile
-        # lowers to: XLA:TPU sorts cost ~27 ms per f32[4, 3.1M] call — 16% of
-        # the 1024px stage's device time — vs ~1.4 ms of counting passes
-        # (abs_quantile_bisect docstring has the measured table). Small rows
-        # (64/256px stages) keep the exact sort, so their graphs/numerics are
-        # untouched. Env: MINIMAGEN_TPU_APPROX_THRESHOLD_MIN = element count
-        # at which bisection engages (default 2**21; huge value disables).
+        # Large rows use CDF bisection instead of the sort jnp.quantile
+        # lowers to — XLA:TPU sorts are slow at scale: f32[4, 3.1M] sorts
+        # were 16% of the 1024px stage (bisection: cascade 5.00 -> 4.38
+        # s/image), and the 196k-element 256px rows still pay ~8% of the
+        # 64->256 cascade (0.3236 -> 0.2976 s/image measured A/B,
+        # bench_extended 2026-08-17). Small rows (64/128px stages) keep the
+        # exact sort, so their graphs/numerics are untouched. Env:
+        # MINIMAGEN_TPU_APPROX_THRESHOLD_MIN = element count at which
+        # bisection engages (default 2**17; huge value disables).
         b = x_start.shape[0]
         flat = jnp.abs(x_start.reshape(b, -1)).astype(jnp.float32)
         approx_min = int(os.environ.get("MINIMAGEN_TPU_APPROX_THRESHOLD_MIN",
-                                        2**21))
+                                        2**17))
         if flat.shape[-1] >= approx_min:
             s = abs_quantile_bisect(flat, self.dynamic_thresholding_percentile)
         else:
