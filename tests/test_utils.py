@@ -210,3 +210,33 @@ def test_batch_timeout_watchdog():
     with _Timeout(5):
         pass
     time.sleep(0.05)  # would blow up here if the alarm leaked
+
+
+def test_inference_cli_mesh_flag(monkeypatch):
+    """`inference.py --MESH data` forwards a jax.sharding.Mesh to
+    sample_and_save; the default forwards none (single-device serving)."""
+    import sys
+
+    import inference as inference_cli
+
+    captured = {}
+
+    def fake_sample_and_save(captions, training_directory=None, sample_args=None):
+        captured.update(captions=captions, training_directory=training_directory,
+                        sample_args=sample_args)
+
+    monkeypatch.setattr(inference_cli, "sample_and_save", fake_sample_and_save)
+
+    monkeypatch.setattr(sys, "argv", ["inference.py", "-c", "a happy dog",
+                                      "-d", "tdir", "--MESH", "data",
+                                      "--SAMPLER", "ddim", "--SAMPLE_STEPS", "5"])
+    inference_cli.main()
+    from jax.sharding import Mesh
+    assert isinstance(captured["sample_args"]["mesh"], Mesh)
+    assert set(captured["sample_args"]["mesh"].shape) == {"data", "model"}
+    assert captured["training_directory"] == "tdir"
+
+    captured.clear()
+    monkeypatch.setattr(sys, "argv", ["inference.py", "-c", "a happy dog", "-d", "tdir"])
+    inference_cli.main()
+    assert "mesh" not in captured["sample_args"]
