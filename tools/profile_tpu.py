@@ -147,6 +147,48 @@ def build_denoise():
     return run, flops_per_step
 
 
+def build_sr256():
+    """Guided denoise step of the flagship 256px SR stage (batch 4,
+    lowres-conditioned) — the dominant cost of the 64->256 cascade
+    (0.298 s/image default). Same methodology as 'denoise'."""
+    from __graft_entry__ import _flagship_imagen
+    from minimagen_tpu.parallel.mesh import cast_params
+
+    batch, L = 4, 64
+    imagen = _flagship_imagen(dtype=jnp.bfloat16)
+    params = imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=L,
+                                stages=[1])["unet_1"]
+    params = cast_params(params, jnp.bfloat16)
+    scheduler = imagen.noise_schedulers[1]
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 256, 256, 3)), jnp.float32)
+    lowres = jnp.asarray(rng.uniform(0, 1, (batch, 256, 256, 3)), jnp.float32)
+    text_embeds = jnp.asarray(rng.normal(size=(batch, L, 768)), jnp.float32)
+    text_mask = jnp.ones((batch, L), jnp.bool_)
+    aug_t = jnp.full((batch,), 100, jnp.int32)
+
+    @jax.jit
+    def denoise_step(params, x, t, noise_key):
+        mean, _, log_var = imagen._p_mean_variance(
+            1, scheduler, params, x, t, text_embeds=text_embeds, text_mask=text_mask,
+            lowres_cond_img=lowres, lowres_noise_times=aug_t,
+            cond_scale=jnp.float32(3.0), guided=True,
+        )
+        noise = jax.random.normal(noise_key, x.shape, x.dtype)
+        return mean + jnp.exp(0.5 * log_var) * noise
+
+    t = jnp.full((batch,), 500, jnp.int32)
+
+    def run(n):
+        xi = x
+        for i in range(n):
+            xi = denoise_step(params, xi, t, jax.random.PRNGKey(i))
+        np.asarray(xi)
+
+    flops_per_step = _step_flops(denoise_step, params, x, t, jax.random.PRNGKey(0))
+    return run, flops_per_step
+
+
 def build_train():
     import optax
 
@@ -202,14 +244,15 @@ def _step_flops(jitted, *args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["denoise", "train"])
+    ap.add_argument("which", choices=["denoise", "train", "sr256"])
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--top", type=int, default=10)
     args = ap.parse_args()
 
     logdir = args.logdir or f"/tmp/xplane_{args.which}"
-    build = build_denoise if args.which == "denoise" else build_train
+    build = {"denoise": build_denoise, "train": build_train,
+             "sr256": build_sr256}[args.which]
     run, flops_per_step = build()
 
     run(2)  # compile + warm
