@@ -41,10 +41,14 @@ def bench_cascade():
     # (flagship stages) — matches sample()'s production default
     env = os.environ.get("EXT_CACHE_INTERVAL", "auto")
     cache_interval = "auto" if env == "auto" else (int(env) or None)
+    # EXT_SAMPLE_STEPS: int or comma list for per-stage budgets ("50,20")
+    steps_env = os.environ.get("EXT_SAMPLE_STEPS", "50")
+    sample_steps = (tuple(int(s) for s in steps_env.split(","))
+                    if "," in steps_env else int(steps_env))
 
     def run(key):
         return imagen.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
-                             sampler="ddim", sample_steps=50, key=key,
+                             sampler="ddim", sample_steps=sample_steps, key=key,
                              cache_interval=cache_interval)
 
     t0 = time.perf_counter()
@@ -62,6 +66,7 @@ def bench_cascade():
         "metric": "cascade_64_to_256_ddim50_guided_sec_per_image",
         "value": round(per_image, 4), "unit": "s/image",
         "batch": b, "compile_s": round(compile_s, 1),
+        "sample_steps": sample_steps,
         "cache_interval": cache_interval,
         "north_star": "< 1 s/image",
     }), flush=True)

@@ -169,18 +169,38 @@ def main():
         cond_scale=1.0, sampler="ddim", sample_steps=args.sr_eval_steps,
         start_noise_level=args.sr_start_level, key=jax.random.PRNGKey(11)))
 
+    # per-stage-budget evidence (sample_steps=(base, sr) production lever):
+    # SR quality at a SMALL step budget vs the full one, both modes
+    small = max(args.sr_eval_steps // 3, 2)
+    sr_small_full = np.asarray(imagen.super_resolve(
+        jnp.asarray(gt32), stage=1, text_embeds=embeds, text_masks=mask,
+        cond_scale=1.0, sampler="ddim", sample_steps=small,
+        key=jax.random.PRNGKey(11)))
+    sr_small = np.asarray(imagen.super_resolve(
+        jnp.asarray(gt32), stage=1, text_embeds=embeds, text_masks=mask,
+        cond_scale=1.0, sampler="ddim", sample_steps=small,
+        start_noise_level=args.sr_start_level, key=jax.random.PRNGKey(11)))
+
     p_sr = psnr(sr_out, gt64)
     p_sr_full = psnr(sr_out_full, gt64)
     p_bi = psnr(bicubic, gt64)
+    p_sr_small = psnr(sr_small, gt64)
+    p_sr_small_full = psnr(sr_small_full, gt64)
     with open(os.path.join(args.out, "psnr.json"), "w") as f:
         json.dump({"psnr_sr_truncated_vs_gt": p_sr,
                    "sr_start_noise_level": args.sr_start_level,
                    "psnr_sr_full_reverse_vs_gt": p_sr_full,
                    "psnr_bicubic_vs_gt": p_bi,
+                   "sr_eval_steps": args.sr_eval_steps,
+                   "small_budget_steps": small,
+                   "psnr_sr_truncated_small_budget": p_sr_small,
+                   "psnr_sr_full_reverse_small_budget": p_sr_small_full,
                    "sr_beats_bicubic": p_sr > p_bi}, f, indent=2)
     print(f"PSNR vs gt64 on held-out: SR(truncated @{args.sr_start_level})={p_sr:.2f} dB, "
           f"SR(full reverse)={p_sr_full:.2f} dB, bicubic={p_bi:.2f} dB "
-          f"(SR {'BEATS' if p_sr > p_bi else 'does not beat'} bicubic)")
+          f"(SR {'BEATS' if p_sr > p_bi else 'does not beat'} bicubic); "
+          f"small budget ({small} steps): truncated={p_sr_small:.2f} dB, "
+          f"full reverse={p_sr_small_full:.2f} dB")
 
     # panel: gt | bicubic | SR for the first 4 held-out images
     panel = np.concatenate([

@@ -20,8 +20,12 @@ def main():
     # beyond the reference CLI: fast strided sampling
     parser.add_argument("--SAMPLER", dest="SAMPLER", choices=["ddpm", "ddim"], default="ddpm",
                         help="ddpm = reference-faithful full-T sampling; ddim = strided fast path")
-    parser.add_argument("--SAMPLE_STEPS", dest="SAMPLE_STEPS", type=int, default=None,
-                        help="Number of DDIM steps (default min(50, T))")
+    parser.add_argument("--SAMPLE_STEPS", dest="SAMPLE_STEPS", default=None,
+                        type=lambda v: (tuple(int(s) for s in v.split(","))
+                                        if "," in v else int(v)),
+                        help="Number of DDIM steps (default min(50, T)); a "
+                             "comma list sets per-stage budgets, e.g. '50,20' "
+                             "— SR stages need far fewer steps than the base")
     parser.add_argument("--CACHE_INTERVAL", dest="CACHE_INTERVAL", default=None,
                         type=lambda v: v if v == "auto" else int(v),
                         help="encoder-feature caching: recompute the U-Net down path "

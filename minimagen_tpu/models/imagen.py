@@ -620,7 +620,7 @@ class Imagen:
         return_all_stage_outputs: bool = False,
         data_format: str = "NHWC",
         sampler: str = "ddpm",
-        sample_steps: Optional[int] = None,
+        sample_steps: Union[int, Sequence[int], None] = None,
         progress: bool = False,
         cache_interval: Union[int, str, None] = "auto",
         device=None,
@@ -654,7 +654,11 @@ class Imagen:
         :param sampler: 'ddpm' (reference-faithful, all T steps) or 'ddim'
             (deterministic strided sampling — `sample_steps` model calls
             instead of T; fast path beyond the reference).
-        :param sample_steps: number of DDIM steps (default min(50, T)).
+        :param sample_steps: number of DDIM steps (default min(50, T)), or a
+            per-stage sequence, e.g. ``(50, 20)`` — super-res stages condition
+            on the previous stage's structure and need far fewer steps than
+            the base, so per-stage budgets are the production latency lever
+            (measured table in BASELINE.md). An int applies to every stage.
         :param device: accepted for reference API parity (Imagen.py:432) and
             ignored — placement follows the params' sharding.
         :param mesh: optional `jax.sharding.Mesh` with ('data', 'model') axes
@@ -730,14 +734,17 @@ class Imagen:
             stage_cache = self._resolve_cache_interval(
                 cache_interval, stage, batch_size * (2 if guided else 1),
                 text_embeds.shape[1])
-            sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps,
+            stage_steps = (sample_steps[stage]
+                           if isinstance(sample_steps, (list, tuple))
+                           else sample_steps)
+            sample_fn = self._jitted_sample_stage(stage, guided, sampler, stage_steps,
                                                   progress, stage_cache)
             if progress:
                 from ..utils.progress import ProgressBar  # noqa: PLC0415
                 T = self.noise_schedulers[stage].num_timesteps
                 steps = T if sampler == "ddpm" else len(
                     self.noise_schedulers[stage].strided_sampling_timesteps(
-                        default(sample_steps, min(50, T))))
+                        default(stage_steps, min(50, T))))
                 self._progress_bar = ProgressBar(
                     total=steps, desc=f"sampling stage {stage + 1}/{self.num_unets}")
             img = sample_fn(

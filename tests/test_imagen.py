@@ -138,6 +138,26 @@ def test_sample_default_key_is_fresh_entropy(cascade):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+def test_sample_per_stage_step_budgets(cascade):
+    """sample_steps accepts a per-stage sequence (production latency lever:
+    SR stages need fewer steps than the base). A uniform tuple must match
+    the int form bit-exactly; distinct budgets run and stay in range."""
+    _, embeds, mask = _batch()
+    key = jax.random.PRNGKey(5)
+    a = cascade.sample(text_embeds=embeds, text_masks=mask, sampler="ddim",
+                       sample_steps=4, key=key)
+    b = cascade.sample(text_embeds=embeds, text_masks=mask, sampler="ddim",
+                       sample_steps=(4, 4), key=key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    c = cascade.sample(text_embeds=embeds, text_masks=mask, sampler="ddim",
+                       sample_steps=(5, 2), key=key)
+    arr = np.asarray(c)
+    assert arr.shape == (2, 16, 16, 3)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    assert not np.allclose(arr, np.asarray(a))
+
+
 def test_sample_fixed_key_is_deterministic(cascade):
     _, embeds, mask = _batch()
     a = cascade.sample(text_embeds=embeds, text_masks=mask, key=jax.random.PRNGKey(42))

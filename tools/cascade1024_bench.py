@@ -59,13 +59,20 @@ def build_imagen(dtype=jnp.bfloat16):
     )
 
 
+def _stage_steps(steps, stage):
+    return steps[stage] if isinstance(steps, tuple) else steps
+
+
 def _cache_arg(v):
     return v if v == "auto" else (int(v) or None)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps", default=50,
+                    type=lambda v: (tuple(int(x) for x in v.split(","))
+                                    if "," in str(v) else int(v)),
+                    help="DDIM steps: int or per-stage comma list '50,30,20'")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--cache-interval", type=_cache_arg, default="auto",
                     help="encoder-feature caching (Faster Diffusion): int, "
@@ -116,7 +123,7 @@ def main():
         for s in range(3):
             ma = imagen.stage_memory_analysis(
                 s, batch_size=args.batch, text_len=L, cond_scale=3.0,
-                sampler="ddim", sample_steps=args.steps)
+                sampler="ddim", sample_steps=_stage_steps(args.steps, s))
             if ma:
                 mem[f"stage{s}_temp_mb"] = round(ma.get("temp_size_in_bytes", 0) / 2**20, 1)
                 mem[f"stage{s}_args_mb"] = round(ma.get("argument_size_in_bytes", 0) / 2**20, 1)
@@ -134,7 +141,7 @@ def main():
         lowres = jnp.asarray(rng.uniform(0, 1, (b, 1024, 1024, 3)), jnp.float32)
         lr_t = imagen.lowres_noise_schedule.get_times(b, 0.2)
         cache2 = imagen._resolve_cache_interval(args.cache_interval, 2, 2 * b, L)
-        fn = imagen._jitted_sample_stage(2, True, "ddim", args.steps,
+        fn = imagen._jitted_sample_stage(2, True, "ddim", _stage_steps(args.steps, 2),
                                          cache_interval=cache2)
         out = fn(imagen.params["unet_2"], jax.random.PRNGKey(0), embeds, mask,
                  jnp.float32(3.0), lowres, lr_t)
@@ -156,7 +163,9 @@ def main():
             print(f"  {v * 1e3:9.3f}  {n[:110]}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "cascade_64_256_1024_ddim%d_s_per_image" % args.steps,
+        "metric": "cascade_64_256_1024_ddim%s_s_per_image" % (
+            "-".join(map(str, args.steps)) if isinstance(args.steps, tuple)
+            else args.steps),
         "value": round(total / args.batch, 3),
         "unit": "s/image",
         "batch": args.batch,
