@@ -52,7 +52,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .flash_attention import pallas_enabled
+from .flash_attention import _INTERPRET_ENV, pallas_enabled
 
 _FUSED_ENV = "MINIMAGEN_TPU_STEM_FUSED"
 
@@ -140,6 +140,53 @@ def _depth_to_space(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, f * h, f * w, c)
 
 
+_D2S_PALLAS_ENV = "MINIMAGEN_TPU_PALLAS_D2S"
+
+
+def _depth_to_space_bias_pallas(x: jnp.ndarray, bias: jnp.ndarray,
+                                f: int) -> jnp.ndarray:
+    """Fused depth-to-space + bias add as one Pallas pass.
+
+    XLA lowers `_depth_to_space` as a physical reshape + transpose copy —
+    two HBM round trips over the full stem activation (measured 453 + 409
+    us/step on the 256px SR stage, tools/profile_tpu.py sr256, 2026-08-18,
+    ~5% of the step). One kernel does the shuffle VMEM-locally per (batch,
+    row) block and folds the stem bias in, so the activation crosses HBM
+    once. Grid (b, H'); in block (1, 1, W', f*f*c) -> out block
+    (1, f, f*W', c); channel order (py, px, c) matches `_depth_to_space`.
+    """
+    from jax.experimental import pallas as pl  # noqa: PLC0415
+
+    b, h, w, cf = x.shape
+    c = cf // (f * f)
+
+    def kernel(x_ref, b_ref, o_ref):
+        v = x_ref[0, 0]                       # (W', f*f*c), lanes (py, px, c)
+        v = v.reshape(w, f, f, c)             # (w, py, px, c)
+        v = v.transpose(1, 0, 2, 3)           # (py, w, px, c)
+        o_ref[0] = v.reshape(f, f * w, c) + b_ref[:]
+
+    interpret = bool(os.environ.get(_INTERPRET_ENV))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, cf), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, f, f * w, c), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, f * h, f * w, c), x.dtype),
+        interpret=interpret,
+    )(x, bias.astype(x.dtype))
+
+
+def _use_pallas_d2s() -> bool:
+    env = os.environ.get(_D2S_PALLAS_ENV)
+    if env is not None:
+        return env not in ("0", "")
+    return False  # measured dispatch pending (see module docstring table)
+
+
 def _s2d_patches(x: jnp.ndarray, K: int) -> jnp.ndarray:
     """Pad + space-to-depth + im2col for a K x K (odd) stride-1 conv.
 
@@ -216,12 +263,14 @@ def cross_embed_s2d_conv(
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     # the trailing eh/ew zero-pad rows only feed windows past the real image
     y2 = y2[:, : h // f, : ww // f, :]
-    out = _depth_to_space(y2, f)
     bias_parts = [
         bb if bb is not None else jnp.zeros(k.shape[-1], dtype)
         for bb, k in zip(biases, kernels)
     ]
-    return out + jnp.concatenate(bias_parts).astype(dtype)
+    bias = jnp.concatenate(bias_parts)
+    if _use_pallas_d2s():
+        return _depth_to_space_bias_pallas(y2, bias, f)
+    return _depth_to_space(y2, f) + bias.astype(dtype)
 
 
 _S2D_ENV = "MINIMAGEN_TPU_STEM_S2D"

@@ -199,3 +199,26 @@ def test_fused_env_respects_preconditions(monkeypatch):
     assert not sc.use_fused_stem(1, 15, 16)
     assert not sc.use_fused_stem(1, 16, 15)
     assert sc.use_fused_stem(1, 16, 16)
+
+
+@pytest.mark.parametrize("f", [2, 4])
+def test_pallas_d2s_matches_xla(f, monkeypatch):
+    """Fused depth-to-space+bias Pallas kernel (interpret mode) == the XLA
+    reshape/transpose formulation, and the env gate routes the s2d conv
+    through it with identical outputs."""
+    monkeypatch.setenv("MINIMAGEN_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(3)
+    c = 16
+    y2 = jnp.asarray(rng.normal(size=(2, 8, 8, f * f * c)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    ref = sc._depth_to_space(y2, f) + bias
+    out = sc._depth_to_space_bias_pallas(y2, bias, f)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-6)
+
+    kernels, biases = _weights((3, 7, 15), 3, 32)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    plain = sc.cross_embed_s2d_conv(x, kernels, biases, f, jnp.float32)
+    monkeypatch.setenv("MINIMAGEN_TPU_PALLAS_D2S", "1")
+    fused = sc.cross_embed_s2d_conv(x, kernels, biases, f, jnp.float32)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               atol=1e-6, rtol=1e-6)
