@@ -150,10 +150,21 @@ def _depth_to_space_bias_pallas(x: jnp.ndarray, bias: jnp.ndarray,
     XLA lowers `_depth_to_space` as a physical reshape + transpose copy —
     two HBM round trips over the full stem activation (measured 453 + 409
     us/step on the 256px SR stage, tools/profile_tpu.py sr256, 2026-08-18,
-    ~5% of the step). One kernel does the shuffle VMEM-locally per (batch,
-    row) block and folds the stem bias in, so the activation crosses HBM
-    once. Grid (b, H'); in block (1, 1, W', f*f*c) -> out block
+    ~5% of the step). One kernel would do the shuffle VMEM-locally per
+    (batch, row) block and fold the stem bias in, so the activation crosses
+    HBM once. Grid (b, H'); in block (1, 1, W', f*f*c) -> out block
     (1, f, f*W', c); channel order (py, px, c) matches `_depth_to_space`.
+
+    STATUS (2026-08-18, jax 0.8.x Mosaic): correct in interpret mode
+    (tested) but NOT compilable on TPU — every formulation of the
+    lane->sublane redistribution hits a Mosaic gap, measured on hardware:
+    (a) `reshape (W,4,4,c) + transpose`: "infer-vector-layout: unsupported
+    shape cast"; (b) per-py 2D fold `(W, f*c) -> (f*W, c)`: same;
+    (c) per-(py,px) strided sublane stores: "Strided store with non 32-bit
+    data" (bf16). Folding the transform into the following stride-2
+    Downsample conv instead would force s2d layouts through the whole down
+    path (reference-parity risk) for a ~4%-of-step bound. Ships OFF behind
+    MINIMAGEN_TPU_PALLAS_D2S until Mosaic supports one of (a)-(c).
     """
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
