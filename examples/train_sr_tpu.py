@@ -186,6 +186,32 @@ def main():
     p_bi = psnr(bicubic, gt64)
     p_sr_small = psnr(sr_small, gt64)
     p_sr_small_full = psnr(sr_small_full, gt64)
+
+    # 3) solver-quality table (round-3 DPM-Solver++(2M) addition): PSNR of
+    #    the SR stage under both ODE solvers across step budgets, full
+    #    reverse (where solver accuracy matters most) and truncated. The
+    #    production question: how many DDIM steps does each DPM++ budget
+    #    replace?
+    solver_table = []
+    # every (sampler, steps, mode) combo is its own scan-length graph ->
+    # its own (tunnel-slow) compile; keep the grid tight. Full reverse at
+    # 4 budgets is where solver order shows; one truncated pair confirms
+    # the production path is solver-insensitive (few effective steps).
+    configs = [(s, n, None) for s in ("ddim", "dpmpp") for n in (10, 16, 25, 50)]
+    configs += [(s, args.sr_eval_steps, args.sr_start_level)
+                for s in ("ddim", "dpmpp")]
+    for sampler_name, n, level in configs:
+        out = np.asarray(imagen.super_resolve(
+            jnp.asarray(gt32), stage=1, text_embeds=embeds,
+            text_masks=mask, cond_scale=1.0, sampler=sampler_name,
+            sample_steps=n, start_noise_level=level,
+            key=jax.random.PRNGKey(11)))
+        solver_table.append({
+            "sampler": sampler_name, "steps": n,
+            "mode": "full_reverse" if level is None else f"truncated@{level}",
+            "psnr_db": psnr(out, gt64)})
+        print(f"solver table: {solver_table[-1]}", flush=True)
+
     with open(os.path.join(args.out, "psnr.json"), "w") as f:
         json.dump({"psnr_sr_truncated_vs_gt": p_sr,
                    "sr_start_noise_level": args.sr_start_level,
@@ -195,6 +221,7 @@ def main():
                    "small_budget_steps": small,
                    "psnr_sr_truncated_small_budget": p_sr_small,
                    "psnr_sr_full_reverse_small_budget": p_sr_small_full,
+                   "solver_table": solver_table,
                    "sr_beats_bicubic": p_sr > p_bi}, f, indent=2)
     print(f"PSNR vs gt64 on held-out: SR(truncated @{args.sr_start_level})={p_sr:.2f} dB, "
           f"SR(full reverse)={p_sr_full:.2f} dB, bicubic={p_bi:.2f} dB "

@@ -346,8 +346,11 @@ class Imagen:
         per-step Python loop, Imagen.py:372-420).
 
         :param sampler: 'ddpm' (reference-faithful ancestral sampling over all
-            T steps) or 'ddim' (deterministic strided sampling over
-            `sample_steps` steps — a TPU-era fast path beyond the reference).
+            T steps), 'ddim' (deterministic strided sampling over
+            `sample_steps` steps — a TPU-era fast path beyond the reference),
+            or 'dpmpp' (DPM-Solver++(2M), arXiv 2211.01095: a second-order
+            multistep ODE solver on the same strided grid — equal quality at
+            roughly half the DDIM step budget; measured table in BASELINE.md).
         :param cache_interval: encoder-feature caching across timesteps
             ("Faster Diffusion", arXiv 2312.09608): the U-Net's stem+DOWN-path
             features are recomputed only every `cache_interval`-th step and
@@ -362,7 +365,7 @@ class Imagen:
         """
         scheduler = self.noise_schedulers[stage]
         has_lowres = self.unet_configs[stage].lowres_cond
-        assert sampler in ("ddpm", "ddim"), f"unknown sampler {sampler!r}"
+        assert sampler in ("ddpm", "ddim", "dpmpp"), f"unknown sampler {sampler!r}"
         caching = cache_interval is not None and cache_interval > 0
 
         def _tick(_):
@@ -450,6 +453,24 @@ class Imagen:
                 img = scheduler.ddim_step(img, x0, t, t_prev)
                 return (img, key, cache), None
 
+            def dpmpp_step(carry, xs):
+                # DPM-Solver++(2M) data-prediction update: all schedule math
+                # lives in the host-precomputed per-step coefficients
+                # (ops/diffusion.py::dpmpp_2m_coefficients); the scan body is
+                # one model call + two FMAs, carrying the previous step's
+                # (thresholded) x0 for the second-order extrapolation.
+                img, key, cache, x0_prev = carry
+                idx, t_pair, coefs = xs
+                maybe_tick(t_pair[0])
+                t = jnp.full((b,), t_pair[0], jnp.int32)
+                if caching:
+                    x0, cache = predict_cached(img, t, idx, cache)
+                else:
+                    x0 = predict(img, t, None, False)
+                d = coefs[2] * x0 + coefs[3] * x0_prev
+                img = coefs[0] * img + coefs[1] * d
+                return (img, key, cache, x0), None
+
             if sampler == "ddpm":
                 # static numpy (NOT scheduler.sampling_timesteps(): any jnp
                 # op inside the trace yields a tracer, which breaks the
@@ -463,9 +484,18 @@ class Imagen:
                 steps = default(sample_steps, min(50, scheduler.num_timesteps))
                 pairs = np.asarray(scheduler.strided_sampling_timesteps(steps))
                 if start_at is not None:
+                    # filter BEFORE computing DPM++ coefficients: the
+                    # multistep ratio r_i links consecutive surviving rows
                     pairs = pairs[pairs[:, 0] <= start_at]
-                xs = (jnp.arange(pairs.shape[0]), jnp.asarray(pairs))
-                (img, _, _), _ = jax.lax.scan(ddim_step, (img, key, zero_cache), xs)
+                if sampler == "dpmpp":
+                    coefs = jnp.asarray(scheduler.dpmpp_2m_coefficients(pairs))
+                    xs = (jnp.arange(pairs.shape[0]), jnp.asarray(pairs), coefs)
+                    x0_prev0 = jnp.zeros(shape, jnp.float32)  # c2=0 on step 0
+                    (img, _, _, _), _ = jax.lax.scan(
+                        dpmpp_step, (img, key, zero_cache, x0_prev0), xs)
+                else:
+                    xs = (jnp.arange(pairs.shape[0]), jnp.asarray(pairs))
+                    (img, _, _), _ = jax.lax.scan(ddim_step, (img, key, zero_cache), xs)
 
             img = jnp.clip(img, -1.0, 1.0)
             return self.unnormalize_img(img)
@@ -651,10 +681,12 @@ class Imagen:
             `jax.debug.callback`.
         :param data_format: 'NHWC' (native) or 'NCHW' (reference layout) for
             the returned array.
-        :param sampler: 'ddpm' (reference-faithful, all T steps) or 'ddim'
+        :param sampler: 'ddpm' (reference-faithful, all T steps), 'ddim'
             (deterministic strided sampling — `sample_steps` model calls
-            instead of T; fast path beyond the reference).
-        :param sample_steps: number of DDIM steps (default min(50, T)), or a
+            instead of T; fast path beyond the reference), or 'dpmpp'
+            (DPM-Solver++(2M): second-order multistep ODE solver — equal
+            quality at roughly half the DDIM step budget; BASELINE.md).
+        :param sample_steps: number of DDIM/DPM++ steps (default min(50, T)), or a
             per-stage sequence, e.g. ``(50, 20)`` — super-res stages condition
             on the previous stage's structure and need far fewer steps than
             the base, so per-stage budgets are the production latency lever
@@ -838,7 +870,7 @@ class Imagen:
             scheduler = self.noise_schedulers[stage]
             start_at = min(int(start_noise_level * scheduler.num_timesteps),
                            scheduler.num_timesteps - 1)
-            if sampler == "ddim":
+            if sampler in ("ddim", "dpmpp"):
                 # clamp to the strided grid: the sampler filters its pairs to
                 # t <= start_at, so q_sample the init image at the first t it
                 # will actually process — otherwise the first denoise step

@@ -133,6 +133,57 @@ class GaussianDiffusion:
         eps = (x_t - jnp.sqrt(abar_t) * x0) * jax.lax.rsqrt(1.0 - abar_t)
         return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1.0 - abar_prev) * eps
 
+    def dpmpp_2m_coefficients(self, pairs: np.ndarray) -> np.ndarray:
+        """Per-step coefficients for the DPM-Solver++(2M) data-prediction
+        update (Lu et al., https://arxiv.org/abs/2211.01095, Algorithm 2),
+        precomputed on the host in float64.
+
+        `pairs` is the (already start_at-filtered) (num_steps, 2) grid from
+        :meth:`strided_sampling_timesteps`. Returns a (num_steps, 4) float32
+        array of (ratio, coef, c1, c2) such that the sampler's per-step
+        update, with x0_i the (thresholded) data prediction at step i, is
+
+            D_i = c1 * x0_i + c2 * x0_{i-1}
+            x  <- ratio * x + coef * D_i
+
+        In schedule terms, with alpha = sqrt(abar), sigma = sqrt(1 - abar),
+        lambda = log(alpha/sigma) and h_i = lambda_prev - lambda_t:
+        ratio = sigma_prev/sigma_t, coef = alpha_prev * (1 - e^{-h_i}),
+        c2 = -1/(2 r_i) with r_i = h_{i-1}/h_i, c1 = 1 - c2. The first step
+        (no history) and the final step to t_prev = -1 (sigma_prev = 0,
+        h = inf: ratio -> 0, coef -> 1, i.e. return x0 exactly like
+        :meth:`ddim_step`) use the first-order update (c1=1, c2=0) — the
+        standard `lower_order_final` stabilization.
+
+        A constant x0 prediction makes this update identical to DDIM
+        (coef = alpha_prev - alpha_t * sigma_prev/sigma_t), which is pinned
+        by tests as a golden cross-check of the coefficients.
+        """
+        pairs = np.asarray(pairs, np.int64)
+        ac = np.asarray(self.alphas_cumprod, np.float64)
+        t, tp = pairs[:, 0], pairs[:, 1]
+        last = tp < 0
+        a_t = np.sqrt(ac[t])
+        s_t = np.sqrt(1.0 - ac[t])
+        lam_t = np.log(a_t / s_t)
+        tp_safe = np.maximum(tp, 0)
+        a_p = np.where(last, 1.0, np.sqrt(ac[tp_safe]))
+        s_p = np.where(last, 0.0, np.sqrt(1.0 - ac[tp_safe]))
+        with np.errstate(divide="ignore"):
+            lam_p = np.where(last, np.inf, np.log(a_p / np.where(last, 1.0, s_p)))
+        h = lam_p - lam_t  # > 0: lambda increases as noise decreases
+        ratio = np.where(last, 0.0, s_p / s_t)
+        coef = a_p * (-np.expm1(-h))  # h = inf on the last step -> coef = 1
+        h_prev = np.concatenate([[np.nan], h[:-1]])
+        first = np.arange(len(t)) == 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = h_prev / h
+            c2 = np.where(first | last, 0.0, -1.0 / (2.0 * r))
+        c1 = 1.0 - c2
+        out = np.stack([ratio, coef, c1, c2], axis=1).astype(np.float32)
+        assert np.all(np.isfinite(out)), "non-finite DPM++ coefficients"
+        return out
+
 
 def create_gaussian_diffusion(timesteps: int) -> GaussianDiffusion:
     """Build the schedule in float64 numpy; store float32 device buffers.
