@@ -27,6 +27,10 @@ def main():
                         help="Number of DDIM steps (default min(50, T)); a "
                              "comma list sets per-stage budgets, e.g. '50,20' "
                              "— SR stages need far fewer steps than the base")
+    parser.add_argument("--GRID", dest="GRID", choices=["time", "lambda"], default="time",
+                        help="strided-sampler timestep spacing: 'time' (even "
+                             "timesteps, DDIM default) or 'lambda' (even log-SNR "
+                             "steps, the DPM-Solver grid — better at small budgets)")
     parser.add_argument("--CACHE_INTERVAL", dest="CACHE_INTERVAL", default=None,
                         type=lambda v: v if v == "auto" else int(v),
                         help="encoder-feature caching: recompute the U-Net down path "
@@ -52,7 +56,8 @@ def main():
             lines = f.readlines()
         captions = [line[:-1] if line.endswith("\n") else line for line in lines]
 
-    sample_args = {"cond_scale": 3.0, "sampler": args.SAMPLER, "progress": True}
+    sample_args = {"cond_scale": 3.0, "sampler": args.SAMPLER, "progress": True,
+                   "grid": args.GRID}
     if args.SAMPLE_STEPS is not None:
         sample_args["sample_steps"] = args.SAMPLE_STEPS
     if args.CACHE_INTERVAL is not None:

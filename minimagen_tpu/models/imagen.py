@@ -338,7 +338,7 @@ class Imagen:
     def _build_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
                             sample_steps: Optional[int] = None, progress: bool = False,
                             cache_interval: Optional[int] = None,
-                            start_at: Optional[int] = None):
+                            start_at: Optional[int] = None, grid: str = "time"):
         """A jittable full reverse-diffusion pass for one cascade stage.
 
         Returns fn(params, key, shape-bearing args...) -> [0,1] images.
@@ -482,7 +482,7 @@ class Imagen:
                 (img, _, _), _ = jax.lax.scan(ddpm_step, (img, key, zero_cache), xs)
             else:
                 steps = default(sample_steps, min(50, scheduler.num_timesteps))
-                pairs = np.asarray(scheduler.strided_sampling_timesteps(steps))
+                pairs = np.asarray(scheduler.strided_sampling_timesteps(steps, grid))
                 if start_at is not None:
                     # filter BEFORE computing DPM++ coefficients: the
                     # multistep ratio r_i links consecutive surviving rows
@@ -505,15 +505,15 @@ class Imagen:
     def _jitted_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
                              sample_steps: Optional[int] = None, progress: bool = False,
                              cache_interval: Optional[int] = None,
-                             start_at: Optional[int] = None):
+                             start_at: Optional[int] = None, grid: str = "time"):
         assert cache_interval is None or isinstance(cache_interval, int), (
             "'auto' must be resolved via _resolve_cache_interval before here")
         cache_key = ("sample", stage, guided, sampler, sample_steps, progress,
-                     cache_interval, start_at)
+                     cache_interval, start_at, grid)
         if cache_key not in self._jit_cache:
             self._jit_cache[cache_key] = jax.jit(
                 self._build_sample_stage(stage, guided, sampler, sample_steps,
-                                         progress, cache_interval, start_at)
+                                         progress, cache_interval, start_at, grid)
             )
         return self._jit_cache[cache_key]
 
@@ -651,6 +651,7 @@ class Imagen:
         data_format: str = "NHWC",
         sampler: str = "ddpm",
         sample_steps: Union[int, Sequence[int], None] = None,
+        grid: str = "time",
         progress: bool = False,
         cache_interval: Union[int, str, None] = "auto",
         device=None,
@@ -686,6 +687,10 @@ class Imagen:
             instead of T; fast path beyond the reference), or 'dpmpp'
             (DPM-Solver++(2M): second-order multistep ODE solver — equal
             quality at roughly half the DDIM step budget; BASELINE.md).
+        :param grid: timestep spacing for the strided samplers — 'time'
+            (DDIM-paper even timesteps) or 'lambda' (even log-SNR steps, the
+            DPM-Solver grid; typically better at small step budgets). See
+            `GaussianDiffusion.strided_sampling_timesteps`.
         :param sample_steps: number of DDIM/DPM++ steps (default min(50, T)), or a
             per-stage sequence, e.g. ``(50, 20)`` — super-res stages condition
             on the previous stage's structure and need far fewer steps than
@@ -770,13 +775,13 @@ class Imagen:
                            if isinstance(sample_steps, (list, tuple))
                            else sample_steps)
             sample_fn = self._jitted_sample_stage(stage, guided, sampler, stage_steps,
-                                                  progress, stage_cache)
+                                                  progress, stage_cache, grid=grid)
             if progress:
                 from ..utils.progress import ProgressBar  # noqa: PLC0415
                 T = self.noise_schedulers[stage].num_timesteps
                 steps = T if sampler == "ddpm" else len(
                     self.noise_schedulers[stage].strided_sampling_timesteps(
-                        default(stage_steps, min(50, T))))
+                        default(stage_steps, min(50, T)), grid))
                 self._progress_bar = ProgressBar(
                     total=steps, desc=f"sampling stage {stage + 1}/{self.num_unets}")
             img = sample_fn(
@@ -813,6 +818,7 @@ class Imagen:
         key: Optional[jax.Array] = None,
         sampler: str = "ddim",
         sample_steps: Optional[int] = None,
+        grid: str = "time",
         cache_interval: Union[int, str, None] = "auto",
         start_noise_level: Optional[float] = None,
     ):
@@ -876,8 +882,9 @@ class Imagen:
                 # will actually process — otherwise the first denoise step
                 # runs at a t below the init image's true noise level
                 steps = default(sample_steps, min(50, scheduler.num_timesteps))
-                grid = np.asarray(scheduler.strided_sampling_timesteps(steps))[:, 0]
-                on_grid = grid[grid <= start_at]
+                ts_grid = np.asarray(
+                    scheduler.strided_sampling_timesteps(steps, grid))[:, 0]
+                on_grid = ts_grid[ts_grid <= start_at]
                 assert on_grid.size, (
                     "start_noise_level is below the DDIM grid's smallest timestep")
                 start_at = int(on_grid.max())
@@ -893,7 +900,7 @@ class Imagen:
             cache_interval, stage, b * (2 if guided else 1), text_embeds.shape[1])
         sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps,
                                               cache_interval=stage_cache,
-                                              start_at=start_at)
+                                              start_at=start_at, grid=grid)
         return sample_fn(
             params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
             jnp.float32(cond_scale), lowres_cond_img, lowres_noise_times,

@@ -101,16 +101,33 @@ class GaussianDiffusion:
         """
         return jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
 
-    def strided_sampling_timesteps(self, num_steps: int) -> np.ndarray:
+    def strided_sampling_timesteps(self, num_steps: int,
+                                   spacing: str = "time") -> np.ndarray:
         """(num_steps, 2) array of (t, t_prev) pairs, descending, evenly
         strided over [0, T) and ending at t=0 with t_prev=-1.
 
-        Used by the DDIM sampler (a TPU-era capability beyond the reference,
-        which always walks all T steps, Imagen.py:395-415): sampling cost
-        drops from T model calls to `num_steps`.
+        Used by the DDIM/DPM++ samplers (TPU-era capabilities beyond the
+        reference, which always walks all T steps, Imagen.py:395-415):
+        sampling cost drops from T model calls to `num_steps`.
+
+        :param spacing: 'time' (evenly strided timesteps — the DDIM-paper
+            default) or 'lambda' (evenly strided in log-SNR
+            lambda = log(alpha/sigma), the DPM-Solver grid: equal-size
+            solver steps h_i, concentrating model calls in the
+            high-curvature low-noise tail — typically better at small
+            `num_steps`, especially for 'dpmpp').
         """
         assert 1 <= num_steps <= self.num_timesteps
-        ts = np.linspace(0, self.num_timesteps - 1, num_steps).round().astype(np.int64)
+        assert spacing in ("time", "lambda"), f"unknown spacing {spacing!r}"
+        if spacing == "time":
+            ts = np.linspace(0, self.num_timesteps - 1, num_steps).round().astype(np.int64)
+        else:
+            ac = np.asarray(self.alphas_cumprod, np.float64)
+            lam = 0.5 * (np.log(ac) - np.log1p(-ac))  # log(alpha/sigma), increasing as t -> 0
+            targets = np.linspace(lam[self.num_timesteps - 1], lam[0], num_steps)
+            # invert the (monotone decreasing in t) discrete lambda array by
+            # nearest lookup; duplicates collapse below like the time grid
+            ts = np.abs(lam[None, : self.num_timesteps] - targets[:, None]).argmin(axis=1)
         ts = np.unique(ts)[::-1]  # descending, unique
         t_prev = np.concatenate([ts[1:], [-1]])
         return np.stack([ts, t_prev], axis=1)

@@ -107,6 +107,56 @@ def test_dpmpp_is_second_order_on_linear_model():
     assert err_dpmpp < 0.5 * err_ddim, (err_dpmpp, err_ddim, ref)
 
 
+def test_lambda_grid_structure():
+    """Uniform-log-SNR spacing: same invariants as the time grid (descending,
+    unique, T-1 -> 0 with terminal -1), but with near-equal lambda steps."""
+    gd = create_gaussian_diffusion(1000)
+    pairs = gd.strided_sampling_timesteps(20, "lambda")
+    ts = pairs[:, 0]
+    assert ts[0] == 999 and ts[-1] == 0 and pairs[-1, 1] == -1
+    assert np.all(np.diff(ts) < 0)
+    np.testing.assert_array_equal(pairs[:-1, 1], pairs[1:, 0])
+    # lambda steps far more even than the time grid's (whose tail h explodes)
+    ac = np.asarray(gd.alphas_cumprod, np.float64)
+    lam = 0.5 * (np.log(ac) - np.log1p(-ac))
+    h_lam = np.abs(np.diff(lam[ts]))
+    t_pairs = gd.strided_sampling_timesteps(20, "time")
+    h_time = np.abs(np.diff(lam[t_pairs[:, 0]]))
+    assert h_lam.max() / h_lam.min() < 3.0  # near-uniform (discrete rounding)
+    assert h_time.max() / h_time.min() > 10.0  # time grid is wildly uneven
+    with pytest.raises(AssertionError):
+        gd.strided_sampling_timesteps(10, "nope")
+
+
+def test_lambda_grid_improves_few_step_dpmpp():
+    """On the linear-model ODE the lambda grid should not be worse than the
+    time grid for DPM++ at a small budget (equal-h steps suit the 2M
+    extrapolation)."""
+    T = 1000
+    gd = create_gaussian_diffusion(T)
+    k = 0.5
+
+    def run(n, spacing):
+        pairs = gd.strided_sampling_timesteps(n, spacing)
+        coefs = gd.dpmpp_2m_coefficients(pairs)
+        x = jnp.full((1,), 1.3, jnp.float32)
+        x0_prev = jnp.zeros_like(x)
+        for i in range(len(pairs)):
+            x0 = k * x
+            x, x0_prev = _coef_update(x, x0, x0_prev, coefs[i]), x0
+        return float(x[0])
+
+    # fine-grid reference (ddim over the full grid)
+    pairs = gd.strided_sampling_timesteps(T)
+    ref = jnp.full((1,), 1.3, jnp.float32)
+    for t, tp in np.asarray(pairs):
+        ref = gd.ddim_step(ref, k * ref, jnp.array([t]), jnp.array([tp]))
+    ref = float(ref[0])
+    err_time = abs(run(10, "time") - ref)
+    err_lam = abs(run(10, "lambda") - ref)
+    assert err_lam < 2.0 * err_time, (err_lam, err_time, ref)
+
+
 @pytest.fixture(scope="module")
 def cascade():
     imagen = Imagen(
@@ -140,6 +190,21 @@ def test_sample_dpmpp_end_to_end(cascade):
     ddim = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
                           sampler="ddim", sample_steps=6, key=jax.random.PRNGKey(2))
     assert np.abs(np.asarray(ddim) - arr).max() > 1e-4
+
+
+def test_sample_dpmpp_lambda_grid_end_to_end(cascade):
+    embeds, mask = _embeds()
+    imgs = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                          sampler="dpmpp", sample_steps=6, grid="lambda",
+                          key=jax.random.PRNGKey(2))
+    arr = np.asarray(imgs)
+    assert arr.shape == (2, 16, 16, 3) and np.all(np.isfinite(arr))
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    # a genuinely different grid than 'time' at the same key
+    time_imgs = cascade.sample(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                               sampler="dpmpp", sample_steps=6, grid="time",
+                               key=jax.random.PRNGKey(2))
+    assert np.abs(np.asarray(time_imgs) - arr).max() > 1e-4
 
 
 def test_sample_dpmpp_with_encoder_cache(cascade):

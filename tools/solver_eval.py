@@ -65,7 +65,8 @@ def main():
     p.add_argument("--ckpt", required=True,
                    help="directory with unet_{0,1}.ckpt from train_sr_tpu.py")
     p.add_argument("--configs", nargs="+", default=["ddim:50", "dpmpp:25"],
-                   help="sampler:steps[:start_noise_level] combos")
+                   help="sampler:steps[:start_noise_level][:grid] combos; "
+                        "use '-' for no start level, grid in {time, lambda}")
     p.add_argument("--num-eval", type=int, default=8)
     p.add_argument("--out", default=None, help="optional JSON output path")
     args = p.parse_args()
@@ -85,12 +86,13 @@ def main():
     for cfg in args.configs:
         parts = cfg.split(":")
         sampler, steps = parts[0], int(parts[1])
-        level = float(parts[2]) if len(parts) > 2 else None
+        level = (float(parts[2]) if len(parts) > 2 and parts[2] != "-" else None)
+        grid = parts[3] if len(parts) > 3 else "time"
         out = np.asarray(imagen.super_resolve(
             jnp.asarray(gt32), stage=1, text_embeds=embeds, text_masks=mask,
-            cond_scale=1.0, sampler=sampler, sample_steps=steps,
+            cond_scale=1.0, sampler=sampler, sample_steps=steps, grid=grid,
             start_noise_level=level, key=jax.random.PRNGKey(11)))
-        rows.append({"sampler": sampler, "steps": steps,
+        rows.append({"sampler": sampler, "steps": steps, "grid": grid,
                      "mode": "full_reverse" if level is None else f"truncated@{level}",
                      "psnr_db": psnr(out, gt64)})
         print(json.dumps(rows[-1]), flush=True)
