@@ -61,38 +61,57 @@ def rescale_image(arr: np.ndarray, side_length: int) -> Optional[np.ndarray]:
     (reference `_Rescale`, training.py:33-56: resize can push values outside
     [0,1], so it re-standardizes by min/max).
 
-    Uses the native C++ antialiased-bicubic path (native/preprocess.cpp) when
-    the shared library is available; PIL otherwise.
+    DEFAULT path is the **exact resize_right algorithm**
+    (`ops/resize_right.resize_np`: cubic a=-0.5, antialiased, reflect pad,
+    scale_factors=(side/h, side/w) — identical weights to the reference's
+    `_resize_image_to_square`, training.py:145-175). `out_shape` is pinned to
+    (side, side) so the loader's static-shape contract holds even when
+    `ceil(scale*in)` would round off by one.
+
+    Set ``MINIMAGEN_TPU_NATIVE_RESIZE=1`` to use the native C++
+    antialiased-Catmull-Rom path instead (native/preprocess.cpp) — faster for
+    huge inputs but a *different* resampling grid than the reference.
     """
-    import PIL.Image  # noqa: PLC0415
+    import os  # noqa: PLC0415
 
     if arr.ndim == 2:
         arr = arr[:, :, None]
     elif arr.ndim != 3:
         return None
 
-    from . import native  # noqa: PLC0415
+    if os.environ.get("MINIMAGEN_TPU_NATIVE_RESIZE") == "1":
+        from . import native  # noqa: PLC0415
 
-    if native.available():
-        u8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
-        out = native.resize_image_u8(u8, side_length, renorm=True)
-        if out is not None:
-            return out
+        if native.available():
+            u8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+            out = native.resize_image_u8(u8, side_length, renorm=True)
+            if out is not None:
+                return out
 
-    img = PIL.Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8).squeeze())
-    img = img.resize((side_length, side_length), PIL.Image.BICUBIC)
-    out = np.asarray(img, dtype=np.float32) / 255.0
-    if out.ndim == 2:
-        out = out[:, :, None]
+    from ..ops.resize_right import resize_np  # noqa: PLC0415
+
+    h, w = arr.shape[:2]
+    out = arr.astype(np.float32)
+    if (h, w) != (side_length, side_length):
+        try:
+            out = resize_np(out, scale_factors=(side_length / h, side_length / w),
+                            out_shape=(side_length, side_length),
+                            dims=(0, 1), pad_mode="reflect")
+        except Exception:
+            return None
     lo, hi = out.min(), out.max()
     if hi <= lo:
-        return None
-    return (out - lo) / (hi - lo)
+        return None  # constant image: the reference would divide by zero
+    return ((out - lo) / (hi - lo)).astype(np.float32)
 
 
 def pil_to_array(img) -> np.ndarray:
-    """PIL -> HWC float32 in [0,1]."""
-    arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+    """PIL -> HWC float32 in [0,1], preserving the image's native channel
+    count (the reference applies torchvision ToTensor WITHOUT an RGB convert,
+    training.py:242, then rejects non-3-channel results at :264-265 — so
+    grayscale/RGBA inputs must stay 1-/4-channel here to be filtered the
+    same way)."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
     return arr
 
 

@@ -159,3 +159,50 @@ def resize(
             jnp.tensordot(w, jnp.moveaxis(out, dims[k], 0), axes=((1,), (0,))),
             0, dims[k])
     return out
+
+
+def resize_np(
+    image: np.ndarray,
+    scale_factors=None,
+    out_shape: Optional[Sequence[int]] = None,
+    *,
+    dims: Tuple[int, int] = (-2, -1),
+    pad_mode: str = "reflect",
+    antialiasing: bool = True,
+) -> np.ndarray:
+    """Host-side (pure numpy) twin of :func:`resize` — identical weights and
+    float-op order, no JAX dispatch.
+
+    The data loader runs on the host while the training step owns the
+    accelerator; routing loader preprocessing through `jnp` would dispatch
+    tiny resizes to the TPU (or worse, through the remote tunnel). The
+    matrices come from the same `resize_matrix` cache, and the matmuls are
+    BLAS — microseconds for loader-sized images.
+    """
+    ndim = image.ndim
+    dims = tuple(d % ndim for d in dims)
+    in_szs = [image.shape[d] for d in dims]
+    if scale_factors is None and out_shape is None:
+        raise ValueError("either scale_factors or out_shape must be given")
+    if scale_factors is None:
+        scales = [o / i for o, i in zip(out_shape, in_szs)]
+    elif isinstance(scale_factors, (list, tuple)):
+        scales = [float(s) for s in scale_factors]
+    else:
+        scales = [float(scale_factors)] * len(dims)
+    if out_shape is None:
+        out_shape = [math.ceil(s * i) for s, i in zip(scales, in_szs)]
+
+    order = sorted(range(len(dims)), key=lambda k: scales[k])
+    out = image
+    for k in order:
+        if scales[k] == 1.0 and out_shape[k] == in_szs[k]:
+            continue
+        mat = resize_matrix(in_szs[k], int(out_shape[k]), scales[k],
+                            pad_mode, antialiasing)
+        w = mat.astype(out.dtype if out.dtype in (np.float32, np.float64)
+                       else np.float32)
+        out = np.moveaxis(
+            np.tensordot(w, np.moveaxis(out, dims[k], 0), axes=((1,), (0,))),
+            0, dims[k])
+    return out

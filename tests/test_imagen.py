@@ -434,7 +434,8 @@ def test_super_resolve_truncated_start(cascade):
     assert a.shape == (2, 16, 16, 3)
     assert np.all(np.isfinite(a)) and a.min() >= 0.0 and a.max() <= 1.0
     # the truncated stage fn was built with a static start_at
-    assert any(k[-1] is not None and k[0] == "sample" for k in cascade._jit_cache)
+    assert any(getattr(k, "start_at", None) is not None and k[0] == "sample"
+               for k in cascade._jit_cache)
     # truncation must also compose with encoder caching
     out2 = cascade.super_resolve(imgs, stage=1, text_embeds=embeds, text_masks=mask,
                                  sampler="ddim", sample_steps=8,
@@ -456,8 +457,9 @@ def test_super_resolve_start_at_clamped_to_ddim_grid(cascade):
                           start_noise_level=0.43, key=jax.random.PRNGKey(3))
     grid = np.asarray(
         cascade.noise_schedulers[1].strided_sampling_timesteps(7))[:, 0]
-    start_ats = [k[-1] for k in cascade._jit_cache
-                 if k[0] == "sample" and k[-1] is not None]
+    start_ats = [k.start_at for k in cascade._jit_cache
+                 if getattr(k, "kind", None) == "sample"
+                 and k.start_at is not None]
     assert start_ats, "no truncated stage fn was built"
     assert all(s in grid for s in start_ats), (start_ats, grid.tolist())
 
