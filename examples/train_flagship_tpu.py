@@ -1,0 +1,128 @@
+"""Flagship-scale on-chip training (round-3 VERDICT next #6).
+
+Trains the 287M-param 2-stage flagship cascade (dim-128 base @64px +
+dim-64 SR @256px, __graft_entry__._flagship_imagen) on the offline synthetic
+captioned-shapes set with EMA, using the on-device chained trainer
+(one dispatch per chunk — the per-step host loop would be tunnel-bound).
+
+    python examples/train_flagship_tpu.py --steps 100000 --batch 16 \
+        --out examples/flagship_r4
+
+Writes per-chunk loss trajectory + raw and EMA unet checkpoints every
+--save_every steps (msgpack; reloadable by tools/flagship_quality_eval.py).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("MINIMAGEN_TPU_T5_FALLBACK", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/minimagen_tpu_jax_cache")
+
+from minimagen_tpu.data.collate import MinimagenCollator
+from minimagen_tpu.data.dataset import SyntheticCaptionedImages
+from minimagen_tpu.parallel.mesh import (
+    create_train_state,
+    make_chained_train_step,
+    make_optimizer,
+)
+from minimagen_tpu.training import save_unet_checkpoint
+
+
+def stage_batches(num_items, batch, size, max_length, encoder_name):
+    """Materialize the whole synthetic set as stacked (K, b, ...) arrays."""
+    ds = SyntheticCaptionedImages(num_items=num_items, side_length=size,
+                                  encoder_name=encoder_name, max_length=max_length)
+    coll = MinimagenCollator(max_length=max_length)
+    items = [ds[i] for i in range(num_items)]
+    K = num_items // batch
+    stacks = [coll(items[i * batch:(i + 1) * batch]) for i in range(K)]
+    return {k: jnp.asarray(np.stack([s[k] for s in stacks])) for k in stacks[0]}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--items", type=int, default=512)
+    p.add_argument("--chunk", type=int, default=2000)
+    p.add_argument("--save_every", type=int, default=20_000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--ema", type=float, default=0.9995)
+    p.add_argument("--mu_bf16", action="store_true", default=True)
+    p.add_argument("--max_length", type=int, default=16)
+    p.add_argument("--out", type=str, default="examples/flagship_r4")
+    p.add_argument("--tiny", action="store_true",
+                   help="dim-16 stand-in cascade for CPU smoke-testing the "
+                        "script mechanics (not a quality run)")
+    args = p.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.tiny:
+        from minimagen_tpu.models.imagen import Imagen
+        from minimagen_tpu.models.unet import BaseTest, SuperTest
+
+        imagen = Imagen(unets=[BaseTest(), SuperTest()], image_sizes=(8, 16),
+                        timesteps=50, cond_drop_prob=0.1,
+                        text_encoder_name="t5_small")
+    else:
+        from __graft_entry__ import _flagship_imagen
+
+        imagen = _flagship_imagen()  # bf16 compute, f32 params
+    imagen.init_params(jax.random.PRNGKey(0), batch_size=2,
+                       text_len=args.max_length)
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(imagen.params))
+    print(f"flagship: {n_params / 1e6:.1f}M params", flush=True)
+
+    stacked = stage_batches(args.items, args.batch, imagen.image_sizes[-1],
+                            args.max_length, imagen.text_encoder_name)
+    print(f"staged {stacked['image'].shape[0]} batches of {args.batch} "
+          f"({stacked['image'].nbytes / 1e6:.0f} MB images)", flush=True)
+
+    opt = make_optimizer(args.lr, mu_dtype=jnp.bfloat16 if args.mu_bf16 else None)
+    state = create_train_state(imagen.params, opt, ema=args.ema > 0)
+    chain = make_chained_train_step(imagen, opt, ema_decay=args.ema)
+
+    def save(state, tag):
+        raw = jax.device_get(state.params)
+        ema = jax.device_get(state.ema_params) if state.ema_params is not None else None
+        for i in range(imagen.num_unets):
+            save_unet_checkpoint(os.path.join(args.out, f"unet_{i}_{tag}.ckpt"),
+                                 raw[f"unet_{i}"])
+            if ema is not None:
+                save_unet_checkpoint(os.path.join(args.out, f"unet_{i}_{tag}_ema.ckpt"),
+                                     ema[f"unet_{i}"])
+
+    key = jax.random.PRNGKey(42)
+    hist = []
+    t0 = time.time()
+    done = 0
+    while done < args.steps:
+        n = min(args.chunk, args.steps - done)
+        state, losses = chain(state, stacked, jax.random.fold_in(key, done), n)
+        losses = np.asarray(losses)  # host sync
+        done += n
+        dt = time.time() - t0
+        hist.append({"step": done, "losses": losses.tolist(), "wall_s": dt})
+        print(f"step {done}/{args.steps}: losses {losses.round(4).tolist()} "
+              f"({dt:.0f}s, {done / dt:.1f} steps/s)", flush=True)
+        with open(os.path.join(args.out, "history.json"), "w") as f:
+            json.dump({"history": hist, "params_m": n_params / 1e6,
+                       "batch": args.batch, "lr": args.lr, "ema": args.ema}, f)
+        if done % args.save_every == 0 or done >= args.steps:
+            save(state, "latest")
+            print(f"checkpointed at step {done}", flush=True)
+    save(state, "final")
+    print(f"DONE: {done} steps in {time.time() - t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,7 @@ from .parallel.mesh import (
     make_train_step,
     place_params,
     shard_batch,
+    zero1_shardings,
 )
 
 # re-exports for reference API parity (reference training.py exposes these)
@@ -413,15 +414,26 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
     optimizer = optimizer if optimizer is not None else make_optimizer(
         args.OPTIM_LR, getattr(args, "ACCUM_ITER", 1)
     )
+    ema_decay = float(getattr(args, "EMA", 0.0) or 0.0)
+    zero1 = getattr(args, "ZERO1", "on") != "off" and mesh is not None \
+        and mesh.shape["data"] > 1
+    state_shardings = grad_shardings = None
     if mesh is not None:
         # commit params onto the mesh (replicated over 'data', wide kernels
-        # sharded over 'model' when it exists); the optimizer state inherits
-        # the same shardings through optax init
-        params = place_params(imagen.params, infer_param_shardings(imagen.params, mesh))
+        # sharded over 'model' when it exists)
+        param_shardings = infer_param_shardings(imagen.params, mesh)
+        params = place_params(imagen.params, param_shardings)
+        if zero1:
+            # ZeRO-1 (default for mesh runs): Adam moments / accumulators /
+            # EMA sharded over 'data' — numerics identical to replicated
+            # (tests/test_parallel.py), 1/N optimizer HBM + traffic per chip
+            state_shardings, grad_shardings = zero1_shardings(
+                params, optimizer, mesh, ema=ema_decay > 0.0,
+                params_shardings=param_shardings)
     else:
         params = imagen.params
-    ema_decay = float(getattr(args, "EMA", 0.0) or 0.0)
-    state = create_train_state(params, optimizer, mesh=mesh, ema=ema_decay > 0.0)
+    state = create_train_state(params, optimizer, mesh=mesh, ema=ema_decay > 0.0,
+                               state_shardings=state_shardings)
 
     # full-state resume (optimizer moments + step), beyond the reference's
     # weights-only restart. Mesh runs resume from the Orbax directory —
@@ -438,7 +450,9 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
         elif os.path.exists(ts_path):
             state = load_train_state(ts_path, state)
             print(f"Restored full train state (step {int(state.step)}) from {ts_path}")
-    train_step = make_train_step(imagen, optimizer, mesh=mesh, ema_decay=ema_decay)
+    train_step = make_train_step(imagen, optimizer, mesh=mesh, ema_decay=ema_decay,
+                                 state_shardings=state_shardings,
+                                 grad_shardings=grad_shardings)
     eval_step = make_eval_step(imagen, mesh=mesh)
     base_key = jax.random.PRNGKey(seed)
 

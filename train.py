@@ -47,6 +47,15 @@ def main():
                         help="bfloat16 compute (f32 params/norms/softmax)")
     parser.add_argument("--REMAT", dest="REMAT", action="store_true",
                         help="Rematerialize U-Net blocks (activation memory for ~30% recompute)")
+    parser.add_argument("--MU_DTYPE", dest="MU_DTYPE", choices=["f32", "bf16"],
+                        default="f32",
+                        help="Adam first-moment dtype; bf16 halves the m-buffer "
+                             "HBM traffic in the bandwidth-bound update fusions "
+                             "(measured train recipe, docs/SERVING.md)")
+    parser.add_argument("--ZERO1", dest="ZERO1", choices=["on", "off"], default="on",
+                        help="ZeRO-1: shard Adam moments/EMA over the 'data' mesh "
+                             "axis (mesh runs only; numerics identical, 1/N "
+                             "optimizer HBM per chip)")
     args = parser.parse_args()
     timestamp = args.timestamp or datetime.now().strftime("%Y%m%d_%H%M%S")
 
@@ -106,7 +115,9 @@ def main():
     save_training_info(args, timestamp, unets_params, imagen_params, model_size_MB, training_dir)
 
     mesh = make_mesh() if args.MESH == "data" else None
-    optimizer = make_optimizer(args.OPTIM_LR, args.ACCUM_ITER)
+    import jax.numpy as jnp  # noqa: F811
+    optimizer = make_optimizer(args.OPTIM_LR, args.ACCUM_ITER,
+                               mu_dtype=jnp.bfloat16 if args.MU_DTYPE == "bf16" else None)
     MinimagenTrain(timestamp, args, unets, imagen, train_dataloader, valid_dataloader,
                    training_dir, optimizer, timeout=30, mesh=mesh)
 
