@@ -44,6 +44,7 @@ MODULES = [
     # parallelism
     "minimagen_tpu.parallel.mesh",
     "minimagen_tpu.parallel.cascade",
+    "minimagen_tpu.parallel.pipeline",
     "minimagen_tpu.parallel.multihost",
     # utilities / tools
     "minimagen_tpu.utils.profiling",

@@ -60,6 +60,28 @@ _TRAIN_BWD_MIN_ENV = "MINIMAGEN_TPU_XLA_ATTN_BWD_MIN"  # min n*j to engage
 _TRAIN_BWD_MIN_DEFAULT = 65536                          # ~256 queries x 257 kv
 _training_graph_depth = 0
 
+# Fused Pallas masked-MHA fwd+bwd for cross-attention TRAINING graphs
+# (round-3 VERDICT next #5): keeps every f32 (n x j) intermediate in VMEM
+# instead of autodiff's three (b,h,n,j) HBM arrays + relayout copy pairs.
+# Structurally different from the (negative) custom-VJP XLA rework above —
+# that one still materialized p/dp/ds in HBM; this one never writes them.
+# Gated by env + a min query length; sampling graphs are untouched (the
+# measured XLA forward wins for short-KV inference, see use_pallas note).
+# SHIPS OFF pending in-context profile on the real train graph
+# (tools/profile_tpu.py) — flip the default only on a measured win.
+_CROSS_FUSED_ENV = "MINIMAGEN_TPU_PALLAS_CROSS_BWD"     # '1' enables
+_CROSS_FUSED_MIN_Q_ENV = "MINIMAGEN_TPU_PALLAS_CROSS_MIN_Q"
+_CROSS_FUSED_MIN_Q_DEFAULT = 1024
+
+
+def _use_fused_cross(n: int, j: int) -> bool:
+    if _training_graph_depth == 0 or os.environ.get(_CROSS_FUSED_ENV, "0") != "1":
+        return False
+    from .flash_attention import _pick_block_q, pallas_enabled  # noqa: PLC0415
+
+    min_q = int(os.environ.get(_CROSS_FUSED_MIN_Q_ENV, _CROSS_FUSED_MIN_Q_DEFAULT))
+    return pallas_enabled() and n >= min_q and _pick_block_q(n, j) > 0
+
 
 @contextlib.contextmanager
 def training_graph():
@@ -217,6 +239,10 @@ def multi_head_attention(
 
         if use_pallas(q.shape[2], k.shape[2]):
             return mha_flash(q, k, v)
+    if _use_fused_cross(q.shape[2], k.shape[2]):
+        from .flash_attention import mha_flash_bias  # noqa: PLC0415
+
+        return mha_flash_bias(q, k, v, _mask_bias(mask, q.shape[0], k.shape[2]))
     if _use_train_bwd(q.shape[2], k.shape[2]):
         return _mha_xla_attn(q, k, v, _mask_bias(mask, q.shape[0], k.shape[2]))
     sim = jnp.einsum("bhnd,bhjd->bhnj", q, k, preferred_element_type=jnp.float32)

@@ -331,3 +331,160 @@ def _mha_bwd(res, g):
 
 
 mha_flash.defvjp(_mha_fwd, _mha_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# biased (masked) MHA with a FUSED Pallas backward — the cross-attention      #
+# training path (round-3 VERDICT next #5, second structural attempt at the    #
+# 2.0 ms/step relayout-copy category).                                        #
+#                                                                             #
+# Cross-attention always carries a text mask (as an additive f32 logit bias,  #
+# (b,1,1,j)), so it can never take the unmasked mha_flash path above. The     #
+# autodiff/XLA backward materializes p, dp, ds as f32 (b,h,n,j) HBM arrays    #
+# (68 MB each at the flagship 8x8x1024x259) and layout-assignment wraps them  #
+# in relayout copy pairs (~2.0 ms/step, BASELINE.md train breakdown). These   #
+# kernels keep every (n x j) intermediate in VMEM: the forward never writes   #
+# p, the backward recomputes it per q-block and emits only dq/dk/dv.          #
+# --------------------------------------------------------------------------- #
+def _mha_bias_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """Forward, one (batch*head, q-block): logits + per-batch bias row."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_ref[0, 0]                     # (1, j) broadcasts over (BQ, j)
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+
+
+def _mha_bias_forward(q, k, v, bias):
+    b, h, n, d = q.shape
+    j = k.shape[2]
+    bq = _pick_block_q(n, j)
+    assert bq > 0, f"unsupported query length {n}"
+    grid = (b * h, n // bq)
+    return pl.pallas_call(
+        _mha_bias_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bh, i: (bh // h, bh % h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j, d), lambda bh, i: (bh // h, bh % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j, d), lambda bh, i: (bh // h, bh % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, j), lambda bh, i: (bh // h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bh, i: (bh // h, bh % h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * j * d,
+            bytes_accessed=(2 * q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * n * j,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, bias)
+
+
+def _mha_bias_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                         dq_ref, dk_ref, dv_ref):
+    """One (batch, head, q-block): recompute p in VMEM, emit the dq block,
+    accumulate dk/dv into the per-(batch,head) output block (revisited across
+    the sequential q-block grid steps)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias_ref[0, 0]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+
+    dq = jnp.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _mha_bias_bwd_pallas(q, k, v, bias, g):
+    b, h, n, d = q.shape
+    j = k.shape[2]
+    bq = _pick_block_q(n, j)
+    dq, dk, dv = pl.pallas_call(
+        _mha_bias_bwd_kernel,
+        grid=(b, h, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, i: (bb, hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j, d), lambda bb, hh, i: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j, d), lambda bb, hh, i: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, j), lambda bb, hh, i: (bb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, i: (bb, hh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, i: (bb, hh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j, d), lambda bb, hh, i: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, j, d), lambda bb, hh, i: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, j, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, j, d), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, bias, g)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@jax.custom_vjp
+def mha_flash_bias(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   bias: jnp.ndarray) -> jnp.ndarray:
+    """Fused masked MHA: q (b,h,n,d) pre-scaled; k/v (b,h,j,d); additive f32
+    logit bias (b,1,1,j) (mask-derived: 0 keep / -1e30 drop). Forward AND
+    backward run as Pallas kernels — no (n x j) intermediate reaches HBM.
+
+    The bias cotangent is hard zero: callers derive it from a boolean mask
+    (no gradient) — do not differentiate w.r.t. a learned bias through this.
+    """
+    return _mha_bias_forward(q, k, v, bias)
+
+
+def _mha_bias_fwd(q, k, v, bias):
+    return _mha_bias_forward(q, k, v, bias), (q, k, v, bias)
+
+
+def _mha_bias_bwd(res, g):
+    q, k, v, bias = res
+    dq, dk, dv = _mha_bias_bwd_pallas(q, k, v, bias, g)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+mha_flash_bias.defvjp(_mha_bias_fwd, _mha_bias_bwd)
