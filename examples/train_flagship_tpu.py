@@ -24,6 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from minimagen_tpu.utils.platform import respect_jax_platforms_env
+
+respect_jax_platforms_env()  # JAX_PLATFORMS=cpu for --tiny smoke runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/minimagen_tpu_jax_cache")
 
 from minimagen_tpu.data.collate import MinimagenCollator

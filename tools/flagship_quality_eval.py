@@ -30,6 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from minimagen_tpu.utils.platform import respect_jax_platforms_env
+
+respect_jax_platforms_env()  # JAX_PLATFORMS=cpu for --tiny smoke runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/minimagen_tpu_jax_cache")
 
 from minimagen_tpu.data.dataset import _SYNTH_COLORS, _draw_synthetic
@@ -40,10 +43,20 @@ CAPTIONS = [f"a {c} {s}" for c in ("red", "green", "blue", "yellow")
             for s in ("square", "circle")]
 
 
-def load_flagship(ckpt_dir: str, tag: str = "latest", ema: bool = True):
-    from __graft_entry__ import _flagship_imagen
+def load_flagship(ckpt_dir: str, tag: str = "latest", ema: bool = True,
+                  tiny: bool = False):
+    if tiny:  # dim-16 stand-in written by train_flagship_tpu.py --tiny:
+        # CPU smoke of the eval mechanics, not a quality measurement
+        from minimagen_tpu.models.imagen import Imagen
+        from minimagen_tpu.models.unet import BaseTest, SuperTest
 
-    imagen = _flagship_imagen()
+        imagen = Imagen(unets=[BaseTest(), SuperTest()], image_sizes=(8, 16),
+                        timesteps=50, cond_drop_prob=0.1,
+                        text_encoder_name="t5_small")
+    else:
+        from __graft_entry__ import _flagship_imagen
+
+        imagen = _flagship_imagen()
     imagen.init_params(jax.random.PRNGKey(0), batch_size=1, text_len=16)
     suffix = "_ema" if ema else ""
     for i in range(imagen.num_unets):
@@ -56,6 +69,10 @@ def load_flagship(ckpt_dir: str, tag: str = "latest", ema: bool = True):
 def encode(captions, name="t5_base", max_length=16):
     e, m = t5_encode_text(captions, name, max_length)
     return jnp.asarray(e), jnp.asarray(m)
+
+
+def _timesteps(imagen):
+    return imagen.noise_schedulers[0].num_timesteps
 
 
 def color_metric(images: np.ndarray, captions) -> float:
@@ -105,8 +122,9 @@ def base_only(imagen):
     faster through the tunnel than the 256px SR stage."""
     from minimagen_tpu.models.imagen import Imagen
 
-    view = Imagen(unets=[imagen.unet_configs[0]], image_sizes=(64,),
-                  timesteps=1000, cond_drop_prob=0.1,
+    view = Imagen(unets=[imagen.unet_configs[0]],
+                  image_sizes=(imagen.image_sizes[0],),
+                  timesteps=_timesteps(imagen), cond_drop_prob=0.1,
                   text_encoder_name=imagen.text_encoder_name,
                   dtype=imagen.dtype)
     view.params = {"unet_0": imagen.params["unet_0"]}
@@ -168,19 +186,21 @@ def eval_sr(imagen, outdir, results):
     from minimagen_tpu.ops.resize import resize_image_to
 
     idxs = [0, 1, 7, 13]
-    gt, caps = zip(*[_draw_synthetic(i, 256) for i in idxs])
+    hi, lo = imagen.image_sizes[-1], imagen.image_sizes[-2]
+    gt, caps = zip(*[_draw_synthetic(i, hi) for i in idxs])
     gt = np.stack(gt)
-    embeds, masks = encode(list(caps))
-    low = resize_image_to(jnp.asarray(gt), 64)
+    embeds, masks = encode(list(caps), imagen.text_encoder_name)
+    low = resize_image_to(jnp.asarray(gt), lo)
     for snl in (0.2, 0.4):
-        out = imagen.super_resolve(low, stage=1, text_embeds=embeds,
+        out = imagen.super_resolve(low, stage=imagen.num_unets - 1,
+                                   text_embeds=embeds,
                                    text_masks=masks, cond_scale=3.0,
                                    sampler="ddim", sample_steps=50,
                                    start_noise_level=snl,
                                    key=jax.random.PRNGKey(3))
         out = np.asarray(out)
         p = psnr(out, gt)
-        bicubic = psnr(np.asarray(resize_image_to(low, 256)), gt)
+        bicubic = psnr(np.asarray(resize_image_to(low, hi)), gt)
         results[f"sr/start{snl}"] = {"psnr_db": round(p, 2),
                                      "bicubic_baseline_db": round(bicubic, 2)}
         save_png(os.path.join(outdir, f"sr_{snl}.png"),
@@ -196,12 +216,15 @@ def main():
     ap.add_argument("--raw", dest="ema", action="store_false")
     ap.add_argument("--which", default="all",
                     choices=["all", "solver", "cache", "budget", "sr"])
+    ap.add_argument("--tiny", action="store_true",
+                    help="dim-16 stand-in cascade (train --tiny ckpts): CPU "
+                         "smoke of the eval mechanics, not a quality run")
     args = ap.parse_args()
     outdir = os.path.join(args.ckpt, "eval")
     os.makedirs(outdir, exist_ok=True)
 
-    imagen = load_flagship(args.ckpt, args.tag, args.ema)
-    embeds, masks = encode(CAPTIONS)
+    imagen = load_flagship(args.ckpt, args.tag, args.ema, tiny=args.tiny)
+    embeds, masks = encode(CAPTIONS, imagen.text_encoder_name)
     results = {}
     path = os.path.join(outdir, "metrics.json")
     if os.path.exists(path):
