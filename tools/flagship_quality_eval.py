@@ -230,7 +230,9 @@ def main():
     if os.path.exists(path):
         results.update(json.load(open(path)))
 
-    todo = [args.which] if args.which != "all" else ["solver", "cache", "budget", "sr"]
+    # cache/budget first: they are the round-3 VERDICT asks and metrics.json
+    # persists incrementally, so a timed-out run still banks the core results
+    todo = [args.which] if args.which != "all" else ["cache", "budget", "solver", "sr"]
     for which in todo:
         if which == "solver":
             eval_solver(imagen, embeds, masks, outdir, results)
