@@ -675,6 +675,7 @@ class Imagen:
         cache_interval: Union[int, str, None] = "auto",
         device=None,
         mesh=None,
+        sr_start_noise_levels: Union[float, Sequence[Optional[float]], None] = None,
     ):
         """Generate images for captions (reference Imagen.py:422-510).
 
@@ -721,6 +722,19 @@ class Imagen:
             on the previous stage's structure and need far fewer steps than
             the base, so per-stage budgets are the production latency lever
             (measured table in BASELINE.md). An int applies to every stage.
+        :param sr_start_noise_levels: SDEdit-style truncated refinement for
+            super-res stages INSIDE the cascade (float in (0, 1], or a
+            per-stage sequence with None for full reverse). Instead of pure
+            noise, stage i starts from
+            ``q_sample(upsample(stage i-1 output), t = level*T)`` and runs
+            only the schedule tail — the previous stage's structure is
+            refined rather than reconstructed from scratch, which reaches
+            image-like SR output orders of magnitude earlier in training
+            than the reference's full-reverse cascade (Imagen.py:468-499;
+            measured on the 30k-step 287M flagship: full-reverse SR is still
+            noise while level 0.2 yields clean 256px shapes — BASELINE.md).
+            None (default) = reference full-reverse semantics. See also
+            `super_resolve` for refining existing images.
         :param device: accepted for reference API parity (Imagen.py:432) and
             ignored — placement follows the params' sharding.
         :param mesh: optional `jax.sharding.Mesh` with ('data', 'model') axes
@@ -813,8 +827,23 @@ class Imagen:
             stage_steps = (sample_steps[stage]
                            if isinstance(sample_steps, (list, tuple))
                            else sample_steps)
+            sr_level = (sr_start_noise_levels[stage]
+                        if isinstance(sr_start_noise_levels, (list, tuple))
+                        else sr_start_noise_levels)
+            init_noise = start_at = None
+            if self.unet_configs[stage].lowres_cond and sr_level is not None:
+                # truncated SR refinement: start from the noised upsampled
+                # previous-stage output instead of pure noise (key split is
+                # local to stage_key so the default path's key stream — and
+                # its fixed-seed determinism — is untouched)
+                start_at = self._truncation_start(stage, sr_level, sampler,
+                                                  stage_steps, grid)
+                stage_key, init_key = jax.random.split(stage_key)
+                init_noise = self._truncation_init(stage, img, start_at,
+                                                   batch_size, init_key)
             sample_fn = self._jitted_sample_stage(stage, guided, sampler, stage_steps,
-                                                  progress, stage_cache, grid=grid)
+                                                  progress, stage_cache,
+                                                  start_at=start_at, grid=grid)
             if progress:
                 from ..utils.progress import ProgressBar  # noqa: PLC0415
                 T = self.noise_schedulers[stage].num_timesteps
@@ -826,6 +855,7 @@ class Imagen:
             img = sample_fn(
                 params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
                 jnp.float32(cond_scale), lowres_cond_img, lowres_noise_times,
+                init_noise,
             )
             if progress and self._progress_bar is not None:
                 jax.block_until_ready(img)
@@ -847,6 +877,37 @@ class Imagen:
             tr = lambda a: jnp.transpose(a, (0, 3, 1, 2))
             result = [tr(r) for r in result] if isinstance(result, list) else tr(result)
         return result
+
+    def _truncation_start(self, stage: int, start_noise_level: float,
+                          sampler: str, sample_steps, grid: str) -> int:
+        """Map an SDEdit truncation level in (0, 1] to a start timestep,
+        clamped onto the strided sampling grid: the sampler filters its step
+        pairs to t <= start_at, so the init image must be q_sampled at the
+        first t it will actually process — otherwise the first denoise step
+        runs at a t below the init image's true noise level."""
+        assert 0.0 < start_noise_level <= 1.0, "start_noise_level in (0, 1]"
+        scheduler = self.noise_schedulers[stage]
+        start_at = min(int(start_noise_level * scheduler.num_timesteps),
+                       scheduler.num_timesteps - 1)
+        if sampler in ("ddim", "dpmpp"):
+            steps = default(sample_steps, min(50, scheduler.num_timesteps))
+            ts_grid = np.asarray(
+                scheduler.strided_sampling_timesteps(steps, grid))[:, 0]
+            on_grid = ts_grid[ts_grid <= start_at]
+            assert on_grid.size, (
+                "start_noise_level is below the DDIM grid's smallest timestep")
+            start_at = int(on_grid.max())
+        return start_at
+
+    def _truncation_init(self, stage: int, images, start_at: int, b: int, key):
+        """Partially-noised init for truncated refinement: q_sample the
+        (normalized) upsampled conditioning images at `start_at`."""
+        upsampled = resize_image_to(images, self.image_sizes[stage])
+        return self.noise_schedulers[stage].q_sample(
+            x_start=self.normalize_img(upsampled),
+            t=jnp.full((b,), start_at, jnp.int32),
+            noise=jax.random.normal(key, upsampled.shape, jnp.float32),
+        )
 
     def super_resolve(
         self,
@@ -916,29 +977,10 @@ class Imagen:
         init_noise = None
         start_at = None
         if start_noise_level is not None:
-            assert 0.0 < start_noise_level <= 1.0, "start_noise_level in (0, 1]"
-            scheduler = self.noise_schedulers[stage]
-            start_at = min(int(start_noise_level * scheduler.num_timesteps),
-                           scheduler.num_timesteps - 1)
-            if sampler in ("ddim", "dpmpp"):
-                # clamp to the strided grid: the sampler filters its pairs to
-                # t <= start_at, so q_sample the init image at the first t it
-                # will actually process — otherwise the first denoise step
-                # runs at a t below the init image's true noise level
-                steps = default(sample_steps, min(50, scheduler.num_timesteps))
-                ts_grid = np.asarray(
-                    scheduler.strided_sampling_timesteps(steps, grid))[:, 0]
-                on_grid = ts_grid[ts_grid <= start_at]
-                assert on_grid.size, (
-                    "start_noise_level is below the DDIM grid's smallest timestep")
-                start_at = int(on_grid.max())
+            start_at = self._truncation_start(stage, start_noise_level,
+                                              sampler, sample_steps, grid)
             key, init_key = jax.random.split(key)
-            upsampled = resize_image_to(images, self.image_sizes[stage])
-            init_noise = scheduler.q_sample(
-                x_start=self.normalize_img(upsampled),
-                t=jnp.full((b,), start_at, jnp.int32),
-                noise=jax.random.normal(init_key, upsampled.shape, jnp.float32),
-            )
+            init_noise = self._truncation_init(stage, images, start_at, b, init_key)
 
         stage_cache = self._resolve_cache_interval(
             cache_interval, stage, b * (2 if guided else 1), text_embeds.shape[1])

@@ -464,6 +464,39 @@ def test_super_resolve_start_at_clamped_to_ddim_grid(cascade):
     assert all(s in grid for s in start_ats), (start_ats, grid.tolist())
 
 
+def test_sample_sr_truncation(cascade):
+    """sample(sr_start_noise_levels=...) runs SR stages as truncated
+    refinement of the previous stage's output (round-4: the cascade-serving
+    form of super_resolve's SDEdit path)."""
+    rng = np.random.default_rng(9)
+    embeds = jnp.asarray(rng.normal(size=(2, 6, 512)), jnp.float32)
+    mask = jnp.ones((2, 6), jnp.bool_)
+    kw = dict(text_embeds=embeds, text_masks=mask, cond_scale=2.0,
+              sampler="ddim", sample_steps=8, cache_interval=None,
+              key=jax.random.PRNGKey(11))
+    cascade._jit_cache.clear()
+    full = np.asarray(cascade.sample(**kw))
+    trunc = np.asarray(cascade.sample(sr_start_noise_levels=0.5, **kw))
+    assert trunc.shape == full.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(trunc)) and trunc.min() >= 0.0 and trunc.max() <= 1.0
+    assert not np.array_equal(trunc, full)  # truly truncated, not a no-op
+    # deterministic at a fixed key
+    trunc2 = np.asarray(cascade.sample(sr_start_noise_levels=0.5, **kw))
+    np.testing.assert_array_equal(trunc, trunc2)
+    # the SR stage fn was built with a static start_at ON the DDIM grid
+    grid = np.asarray(
+        cascade.noise_schedulers[1].strided_sampling_timesteps(8))[:, 0]
+    start_ats = [k.start_at for k in cascade._jit_cache
+                 if getattr(k, "kind", None) == "sample" and k.start_at is not None]
+    assert start_ats and all(s in grid for s in start_ats)
+    # per-stage sequence form (None for the base stage) == scalar form
+    trunc3 = np.asarray(cascade.sample(sr_start_noise_levels=(None, 0.5), **kw))
+    np.testing.assert_array_equal(trunc, trunc3)
+    # default (None) path is bitwise-unchanged by the feature's existence
+    full2 = np.asarray(cascade.sample(**kw))
+    np.testing.assert_array_equal(full, full2)
+
+
 def test_forward_default_key_is_fresh_entropy(cascade):
     """Without an explicit key, two forward() calls must draw different
     times/noise (reference draws fresh randoms per call, Imagen.py:615)."""

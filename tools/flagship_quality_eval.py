@@ -181,6 +181,23 @@ def eval_budget(imagen, embeds, masks, outdir, results):
         print(f"budget {budget}: {results[f'budget/{budget[0]}-{budget[1]}']}", flush=True)
 
 
+def eval_trunc(imagen, embeds, masks, outdir, results):
+    """Truncated-SR cascade serving (round 4, sample(sr_start_noise_levels=...)):
+    the SR stage refines the base output instead of full-reversing from
+    noise — the serving recipe that makes 30k-step weights usable at 256px."""
+    key = jax.random.PRNGKey(17)
+    for level in (0.2, 0.4):
+        out, wall = timed_sample(imagen, embeds, masks, key, sampler="ddim",
+                                 sample_steps=50, cache_interval=None,
+                                 sr_start_noise_levels=level)
+        m = color_metric(out, CAPTIONS)
+        results[f"trunc/sr{level}"] = {
+            "color_dist": round(m, 4), "wall_s_batch8": round(wall, 3)}
+        save_png(os.path.join(outdir, f"cascade_trunc_{level}.png"),
+                 np.concatenate(list(out[:4]), axis=1))
+        print(f"trunc {level}: color {m:.4f}, {wall:.2f}s", flush=True)
+
+
 def eval_sr(imagen, outdir, results):
     """64->256 super_resolve PSNR vs procedural 256px ground truth."""
     from minimagen_tpu.ops.resize import resize_image_to
@@ -215,7 +232,7 @@ def main():
     ap.add_argument("--ema", action="store_true", default=True)
     ap.add_argument("--raw", dest="ema", action="store_false")
     ap.add_argument("--which", default="all",
-                    choices=["all", "solver", "cache", "budget", "sr"])
+                    choices=["all", "solver", "cache", "budget", "sr", "trunc"])
     ap.add_argument("--tiny", action="store_true",
                     help="dim-16 stand-in cascade (train --tiny ckpts): CPU "
                          "smoke of the eval mechanics, not a quality run")
@@ -232,7 +249,7 @@ def main():
 
     # cache/budget first: they are the round-3 VERDICT asks and metrics.json
     # persists incrementally, so a timed-out run still banks the core results
-    todo = [args.which] if args.which != "all" else ["cache", "budget", "solver", "sr"]
+    todo = [args.which] if args.which != "all" else ["cache", "budget", "solver", "sr", "trunc"]
     for which in todo:
         if which == "solver":
             eval_solver(imagen, embeds, masks, outdir, results)
@@ -242,6 +259,8 @@ def main():
             eval_budget(imagen, embeds, masks, outdir, results)
         elif which == "sr":
             eval_sr(imagen, outdir, results)
+        elif which == "trunc":
+            eval_trunc(imagen, embeds, masks, outdir, results)
         with open(path, "w") as f:
             json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
