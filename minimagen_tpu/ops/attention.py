@@ -67,8 +67,14 @@ _training_graph_depth = 0
 # that one still materialized p/dp/ds in HBM; this one never writes them.
 # Gated by env + a min query length; sampling graphs are untouched (the
 # measured XLA forward wins for short-KV inference, see use_pallas note).
-# SHIPS OFF pending in-context profile on the real train graph
-# (tools/profile_tpu.py) — flip the default only on a measured win.
+# SHIPS OFF: the in-context A/B (tools/profile_tpu.py train, batch 8
+# flagship, 2026-08-19) measured a NET LOSS — the kernel removes what it
+# promised (copy 2040 -> 1890 us/step, fusion 16187 -> 15830) but its own
+# runtime exceeds XLA's recomputed bwd (attention 1733 -> 2391 us/step):
+# total 21.58 -> 21.72 ms/step (+0.6%). At these shapes (n=1024, j=67-259)
+# the relayout pairs are cheaper than a Pallas bwd that revisits KV per
+# q-block. Keep OFF; revisit only for much longer text contexts where the
+# (b,h,n,j) HBM traffic actually dominates.
 _CROSS_FUSED_ENV = "MINIMAGEN_TPU_PALLAS_CROSS_BWD"     # '1' enables
 _CROSS_FUSED_MIN_Q_ENV = "MINIMAGEN_TPU_PALLAS_CROSS_MIN_Q"
 _CROSS_FUSED_MIN_Q_DEFAULT = 1024
