@@ -155,16 +155,26 @@ def _depth_to_space_bias_pallas(x: jnp.ndarray, bias: jnp.ndarray,
     HBM once. Grid (b, H'); in block (1, 1, W', f*f*c) -> out block
     (1, f, f*W', c); channel order (py, px, c) matches `_depth_to_space`.
 
-    STATUS (2026-08-18, jax 0.8.x Mosaic): correct in interpret mode
-    (tested) but NOT compilable on TPU — every formulation of the
-    lane->sublane redistribution hits a Mosaic gap, measured on hardware:
-    (a) `reshape (W,4,4,c) + transpose`: "infer-vector-layout: unsupported
+    STATUS (retried 2026-08-19 under jax 0.9 Mosaic; round-3 VERDICT #10):
+    now COMPILES AND RUNS BIT-EXACT on hardware when the output channel
+    count fills the 128-lane register (c % 128 == 0: the 64px dim-128 stem,
+    probe max|diff|=0) — but c=64 (the 256px SR stem, the shape the kernel
+    was built FOR) still fails with the original "infer-vector-layout:
+    unsupported shape cast". And where it does compile it LOSES in context:
+    denoise step 4.970 -> 5.649 ms/step (+13.7%, tools/profile_tpu.py
+    denoise A/B, jax 0.9) — the pallas_call boundary breaks XLA's
+    surrounding fusions (fusion category 3816 -> 4564 us/step), the same
+    failure mode as the fused-GN kernel (ops/group_norm.py). The d2s
+    reshape+transpose copies it replaces are cheaper than the fusion breaks.
+    Ships OFF behind MINIMAGEN_TPU_PALLAS_D2S; category closed as a
+    measured negative unless Mosaic gains sub-128-lane shape casts AND the
+    kernel can be fused into a neighbor.
+
+    History (jax 0.8.x Mosaic, 2026-08-18): not compilable at all — (a)
+    `reshape (W,4,4,c) + transpose`: "infer-vector-layout: unsupported
     shape cast"; (b) per-py 2D fold `(W, f*c) -> (f*W, c)`: same;
     (c) per-(py,px) strided sublane stores: "Strided store with non 32-bit
-    data" (bf16). Folding the transform into the following stride-2
-    Downsample conv instead would force s2d layouts through the whole down
-    path (reference-parity risk) for a ~4%-of-step bound. Ships OFF behind
-    MINIMAGEN_TPU_PALLAS_D2S until Mosaic supports one of (a)-(c).
+    data" (bf16).
     """
     from jax.experimental import pallas as pl  # noqa: PLC0415
 
