@@ -62,6 +62,14 @@ def main():
     p.add_argument("--mu_bf16", action="store_true", default=True)
     p.add_argument("--max_length", type=int, default=16)
     p.add_argument("--out", type=str, default="examples/flagship_r4")
+    p.add_argument("--resume", type=str, default=None,
+                   help="previous --out dir to continue from: loads "
+                        "unet_i_<tag>[_ema].ckpt into params/EMA and resumes "
+                        "the global step counter from its history.json. Only "
+                        "params+EMA persist — Adam moments restart fresh "
+                        "(a few-hundred-step warmup transient).")
+    p.add_argument("--resume_tag", type=str, default="final",
+                   help="checkpoint tag inside --resume (final|latest)")
     p.add_argument("--tiny", action="store_true",
                    help="dim-16 stand-in cascade for CPU smoke-testing the "
                         "script mechanics (not a quality run)")
@@ -85,6 +93,27 @@ def main():
                    for l in jax.tree_util.tree_leaves(imagen.params))
     print(f"flagship: {n_params / 1e6:.1f}M params", flush=True)
 
+    done0, hist, ema0 = 0, [], None
+    if args.resume:
+        from minimagen_tpu.training import load_unet_checkpoint
+
+        for i in range(imagen.num_unets):
+            imagen.params[f"unet_{i}"] = load_unet_checkpoint(
+                os.path.join(args.resume, f"unet_{i}_{args.resume_tag}.ckpt"),
+                imagen.params[f"unet_{i}"])
+        if args.ema > 0:
+            ema0 = {f"unet_{i}": load_unet_checkpoint(
+                os.path.join(args.resume,
+                             f"unet_{i}_{args.resume_tag}_ema.ckpt"),
+                imagen.params[f"unet_{i}"])
+                for i in range(imagen.num_unets)}
+        with open(os.path.join(args.resume, "history.json")) as f:
+            prev = json.load(f)
+        hist = prev["history"]
+        done0 = hist[-1]["step"] if hist else 0
+        print(f"resuming from {args.resume} ({args.resume_tag}) at step "
+              f"{done0}", flush=True)
+
     stacked = stage_batches(args.items, args.batch, imagen.image_sizes[-1],
                             args.max_length, imagen.text_encoder_name)
     print(f"staged {stacked['image'].shape[0]} batches of {args.batch} "
@@ -92,6 +121,13 @@ def main():
 
     opt = make_optimizer(args.lr, mu_dtype=jnp.bfloat16 if args.mu_bf16 else None)
     state = create_train_state(imagen.params, opt, ema=args.ema > 0)
+    if done0:
+        # the global step drives both the round-robin batch index and the
+        # per-step PRNG fold (parallel/mesh.py make_chained_train_step), so a
+        # resumed run continues the exact stream the original would have seen
+        state = state.replace(step=jnp.asarray(done0, jnp.int32))
+    if ema0 is not None:
+        state = state.replace(ema_params=ema0)
     chain = make_chained_train_step(imagen, opt, ema_decay=args.ema)
 
     def save(state, tag):
@@ -105,9 +141,8 @@ def main():
                                      ema[f"unet_{i}"])
 
     key = jax.random.PRNGKey(42)
-    hist = []
     t0 = time.time()
-    done = 0
+    done = done0
     while done < args.steps:
         n = min(args.chunk, args.steps - done)
         state, losses = chain(state, stacked, jax.random.fold_in(key, done), n)
@@ -116,7 +151,7 @@ def main():
         dt = time.time() - t0
         hist.append({"step": done, "losses": losses.tolist(), "wall_s": dt})
         print(f"step {done}/{args.steps}: losses {losses.round(4).tolist()} "
-              f"({dt:.0f}s, {done / dt:.1f} steps/s)", flush=True)
+              f"({dt:.0f}s, {(done - done0) / dt:.1f} steps/s)", flush=True)
         with open(os.path.join(args.out, "history.json"), "w") as f:
             json.dump({"history": hist, "params_m": n_params / 1e6,
                        "batch": args.batch, "lr": args.lr, "ema": args.ema}, f)
