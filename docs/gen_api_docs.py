@@ -16,6 +16,7 @@ from __future__ import annotations
 import importlib
 import inspect
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -63,9 +64,12 @@ MODULES = [
 
 def _signature(obj) -> str:
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # default-value reprs like `<_Sentinel object at 0x7f...>` embed memory
+    # addresses, which would churn the committed docs on every regeneration
+    return re.sub(r" at 0x[0-9a-fA-F]+", " at 0x...", sig)
 
 
 def _doc(obj) -> str:

@@ -775,7 +775,7 @@ class Imagen:
             # kernels sharded over 'model' where the mesh has one); every
             # downstream jit compiles for these shardings via GSPMD
             from ..parallel.mesh import (  # noqa: PLC0415
-                batch_sharding, infer_param_shardings, place_params,
+                batch_sharding, infer_param_shardings,
             )
             n_data = mesh.shape["data"]
             # pad-and-trim (round-3 VERDICT weak #5): a caption count that
@@ -797,7 +797,21 @@ class Imagen:
             text_embeds = jax.device_put(text_embeds, data_sh)
             if text_masks is not None:
                 text_masks = jax.device_put(text_masks, data_sh)
-            params = place_params(params, infer_param_shardings(params, mesh))
+            # params: leaves already committed onto THIS mesh keep their
+            # placement (e.g. FSDP/ZeRO-3-sharded train state served directly
+            # — GSPMD gathers each weight at use); everything else is placed
+            # by the serving rule (replicated over 'data', wide kernels over
+            # 'model' where the mesh has one)
+            from jax.sharding import NamedSharding  # noqa: PLC0415
+
+            def _keep_or_place(leaf, sh):
+                cur = getattr(leaf, "sharding", None)
+                if isinstance(cur, NamedSharding) and cur.mesh == mesh:
+                    return leaf
+                return jax.device_put(leaf, sh)
+
+            params = jax.tree_util.tree_map(
+                _keep_or_place, params, infer_param_shardings(params, mesh))
 
         if cond_scale != 1.0:
             assert self.can_classifier_guidance, (

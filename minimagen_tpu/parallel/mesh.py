@@ -196,6 +196,42 @@ def zero1_shardings(params, optimizer: optax.GradientTransformation, mesh: Mesh,
     return state_sh, grad_sh
 
 
+def fsdp_shardings(params, optimizer: optax.GradientTransformation, mesh: Mesh,
+                   *, ema: bool = False, min_size: int = 4096):
+    """FSDP / ZeRO-3: shard the PARAMS themselves over 'data', not just the
+    optimizer state.
+
+    The same largest-divisible-axis rule as :func:`zero1_shardings` is applied
+    to every leaf — params, grads, Adam moments, MultiSteps accumulators, and
+    EMA all land on identical shards, so the whole optimizer update runs
+    locally on 1/N of each buffer with zero resharding.  XLA GSPMD all-gathers
+    each weight at its use site in the forward/backward (and discards it
+    after), and lowers the gradient all-reduce into a reduce-scatter onto the
+    param shards: per-chip memory for params + m/v + EMA becomes ~1/N, the
+    enabler for models that don't fit one chip's HBM.  The reference keeps
+    everything on one device (SURVEY.md §2c).
+
+    Requires a pure data-parallel mesh (``model`` axis of size 1): composing
+    per-axis tensor parallelism with FSDP would need 2-D per-leaf specs and is
+    out of scope — at this model scale FSDP alone covers the memory case.
+
+    Returns ``(state_shardings, grad_shardings)`` exactly like
+    :func:`zero1_shardings`; pass both to :func:`create_train_state` /
+    :func:`make_train_step`.  For serving from an FSDP state, `sample(mesh=)`
+    works directly on the sharded params (gather-at-use).
+    """
+    assert mesh.shape.get("model", 1) == 1, (
+        "fsdp_shardings needs a pure data-parallel mesh (model axis == 1); "
+        "use zero1_shardings(params_shardings=...) to compose with tensor "
+        "parallelism")
+    rule = _zero1_rule(mesh, min_size)
+    p_sh = jax.tree_util.tree_map(rule, params)
+    state_sh, grad_sh = zero1_shardings(params, optimizer, mesh, ema=ema,
+                                        params_shardings=p_sh,
+                                        min_size=min_size)
+    return state_sh, grad_sh
+
+
 def cast_params(params, dtype):
     """Cast floating-point leaves of a param tree (e.g. to bfloat16 for
     serving: halves weight HBM traffic; training should keep f32 masters)."""

@@ -78,6 +78,7 @@ from .parallel.mesh import (
     make_train_step,
     place_params,
     shard_batch,
+    fsdp_shardings,
     zero1_shardings,
 )
 
@@ -415,21 +416,30 @@ def MinimagenTrain(timestamp, args, unets, imagen: Imagen, train_dataloader,
         args.OPTIM_LR, getattr(args, "ACCUM_ITER", 1)
     )
     ema_decay = float(getattr(args, "EMA", 0.0) or 0.0)
-    zero1 = getattr(args, "ZERO1", "on") != "off" and mesh is not None \
+    shard_mode = getattr(args, "ZERO1", "on")  # "on"=ZeRO-1, "fsdp"=ZeRO-3, "off"
+    sharded = shard_mode != "off" and mesh is not None \
         and mesh.shape["data"] > 1
     state_shardings = grad_shardings = None
     if mesh is not None:
-        # commit params onto the mesh (replicated over 'data', wide kernels
-        # sharded over 'model' when it exists)
-        param_shardings = infer_param_shardings(imagen.params, mesh)
-        params = place_params(imagen.params, param_shardings)
-        if zero1:
-            # ZeRO-1 (default for mesh runs): Adam moments / accumulators /
-            # EMA sharded over 'data' — numerics identical to replicated
-            # (tests/test_parallel.py), 1/N optimizer HBM + traffic per chip
-            state_shardings, grad_shardings = zero1_shardings(
-                params, optimizer, mesh, ema=ema_decay > 0.0,
-                params_shardings=param_shardings)
+        if sharded and shard_mode == "fsdp" and mesh.shape.get("model", 1) == 1:
+            # FSDP / ZeRO-3: params AND optimizer state sharded over 'data'
+            # (gather-at-use); per-chip params+m/v+EMA memory ~1/N — numerics
+            # identical to replicated (tests/test_parallel.py)
+            params = imagen.params
+            state_shardings, grad_shardings = fsdp_shardings(
+                params, optimizer, mesh, ema=ema_decay > 0.0)
+        else:
+            # commit params onto the mesh (replicated over 'data', wide
+            # kernels sharded over 'model' when it exists)
+            param_shardings = infer_param_shardings(imagen.params, mesh)
+            params = place_params(imagen.params, param_shardings)
+            if sharded:
+                # ZeRO-1 (default for mesh runs): Adam moments / accumulators
+                # / EMA sharded over 'data' — numerics identical to replicated
+                # (tests/test_parallel.py), 1/N optimizer HBM+traffic per chip
+                state_shardings, grad_shardings = zero1_shardings(
+                    params, optimizer, mesh, ema=ema_decay > 0.0,
+                    params_shardings=param_shardings)
     else:
         params = imagen.params
     state = create_train_state(params, optimizer, mesh=mesh, ema=ema_decay > 0.0,

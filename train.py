@@ -52,10 +52,13 @@ def main():
                         help="Adam first-moment dtype; bf16 halves the m-buffer "
                              "HBM traffic in the bandwidth-bound update fusions "
                              "(measured train recipe, docs/SERVING.md)")
-    parser.add_argument("--ZERO1", dest="ZERO1", choices=["on", "off"], default="on",
-                        help="ZeRO-1: shard Adam moments/EMA over the 'data' mesh "
-                             "axis (mesh runs only; numerics identical, 1/N "
-                             "optimizer HBM per chip)")
+    parser.add_argument("--ZERO1", dest="ZERO1", choices=["on", "off", "fsdp"],
+                        default="on",
+                        help="Optimizer/param sharding over the 'data' mesh axis "
+                             "(mesh runs only; numerics identical): 'on' = ZeRO-1 "
+                             "(Adam moments/EMA sharded, 1/N optimizer HBM per "
+                             "chip); 'fsdp' = ZeRO-3 (params sharded too, "
+                             "gather-at-use, ~1/N total state memory per chip)")
     args = parser.parse_args()
     timestamp = args.timestamp or datetime.now().strftime("%Y%m%d_%H%M%S")
 
