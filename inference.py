@@ -18,7 +18,7 @@ def main():
     parser.add_argument("-d", "--TRAINING_DIRECTORY", dest="TRAINING_DIRECTORY",
                         help="Training directory to use for inference", type=str)
     # beyond the reference CLI: fast strided sampling
-    parser.add_argument("--SAMPLER", dest="SAMPLER", choices=["ddpm", "ddim", "dpmpp"], default="ddpm",
+    parser.add_argument("--SAMPLER", dest="SAMPLER", choices=["ddpm", "ddim", "dpmpp", "unipc"], default="ddpm",
                         help="ddpm = reference-faithful full-T sampling; ddim = strided fast "
                              "path; dpmpp = DPM-Solver++(2M), ~half the steps at equal quality")
     parser.add_argument("--SAMPLE_STEPS", dest="SAMPLE_STEPS", default=None,

@@ -367,9 +367,12 @@ class Imagen:
         :param sampler: 'ddpm' (reference-faithful ancestral sampling over all
             T steps), 'ddim' (deterministic strided sampling over
             `sample_steps` steps — a TPU-era fast path beyond the reference),
-            or 'dpmpp' (DPM-Solver++(2M), arXiv 2211.01095: a second-order
+            'dpmpp' (DPM-Solver++(2M), arXiv 2211.01095: a second-order
             multistep ODE solver on the same strided grid — equal quality at
-            roughly half the DDIM step budget; measured table in BASELINE.md).
+            roughly half the DDIM step budget; measured table in BASELINE.md),
+            or 'unipc' (UniPC-2 'bh2', arXiv 2302.04867: DPM++(2M) predictor
+            + a corrector that reuses each model call for order-3 local
+            accuracy at identical cost).
         :param cache_interval: encoder-feature caching across timesteps
             ("Faster Diffusion", arXiv 2312.09608): the U-Net's stem+DOWN-path
             features are recomputed only every `cache_interval`-th step and
@@ -384,7 +387,7 @@ class Imagen:
         """
         scheduler = self.noise_schedulers[stage]
         has_lowres = self.unet_configs[stage].lowres_cond
-        assert sampler in ("ddpm", "ddim", "dpmpp"), f"unknown sampler {sampler!r}"
+        assert sampler in ("ddpm", "ddim", "dpmpp", "unipc"), f"unknown sampler {sampler!r}"
         caching = cache_interval is not None and cache_interval > 0
 
         def _tick(_):
@@ -490,6 +493,28 @@ class Imagen:
                 img = coefs[0] * img + coefs[1] * d
                 return (img, key, cache, x0), None
 
+            def unipc_step(carry, xs):
+                # UniPC-2 (bh2, data prediction, arXiv 2302.04867): the
+                # model call at each grid point first CORRECTS the transition
+                # that landed here (re-integrated from the previous corrected
+                # sample with the fresh x0 — order-3 local accuracy, host
+                # coefficients in ops/diffusion.py::unipc_c_coefficients),
+                # then the DPM++(2M)-identical predictor advances to the
+                # next point. Same model-call count as 'dpmpp'.
+                img, key, cache, x_s0, m0, m1 = carry
+                idx, t_pair, pc, cc = xs
+                maybe_tick(t_pair[0])
+                t = jnp.full((b,), t_pair[0], jnp.int32)
+                if caching:
+                    m_t, cache = predict_cached(img, t, idx, cache)
+                else:
+                    m_t = predict(img, t, None, False)
+                x_c = (cc[0] * img + cc[1] * x_s0 + cc[2] * m0
+                       + cc[3] * (m1 - m0) + cc[4] * (m_t - m0))
+                d = pc[2] * m_t + pc[3] * m0
+                img = pc[0] * x_c + pc[1] * d
+                return (img, key, cache, x_c, m_t, m0), None
+
             if sampler == "ddpm":
                 # static numpy (NOT scheduler.sampling_timesteps(): any jnp
                 # op inside the trace yields a tracer, which breaks the
@@ -512,6 +537,14 @@ class Imagen:
                     x0_prev0 = jnp.zeros(shape, jnp.float32)  # c2=0 on step 0
                     (img, _, _, _), _ = jax.lax.scan(
                         dpmpp_step, (img, key, zero_cache, x0_prev0), xs)
+                elif sampler == "unipc":
+                    pcoefs = jnp.asarray(scheduler.dpmpp_2m_coefficients(pairs))
+                    ccoefs = jnp.asarray(scheduler.unipc_c_coefficients(pairs))
+                    xs = (jnp.arange(pairs.shape[0]), jnp.asarray(pairs),
+                          pcoefs, ccoefs)
+                    z = jnp.zeros(shape, jnp.float32)  # rows 0/1 ignore these
+                    (img, _, _, _, _, _), _ = jax.lax.scan(
+                        unipc_step, (img, key, zero_cache, z, z, z), xs)
                 else:
                     xs = (jnp.arange(pairs.shape[0]), jnp.asarray(pairs))
                     (img, _, _), _ = jax.lax.scan(ddim_step, (img, key, zero_cache), xs)
@@ -710,9 +743,12 @@ class Imagen:
             the returned array.
         :param sampler: 'ddpm' (reference-faithful, all T steps), 'ddim'
             (deterministic strided sampling — `sample_steps` model calls
-            instead of T; fast path beyond the reference), or 'dpmpp'
+            instead of T; fast path beyond the reference), 'dpmpp'
             (DPM-Solver++(2M): second-order multistep ODE solver — equal
-            quality at roughly half the DDIM step budget; BASELINE.md).
+            quality at roughly half the DDIM step budget; BASELINE.md), or
+            'unipc' (UniPC-2 bh2, arXiv 2302.04867: the same predictor plus
+            a corrector reusing each model call — order-3 local accuracy at
+            the same cost; regime-dependent gains at small budgets).
         :param grid: timestep spacing for the strided samplers — 'time'
             (DDIM-paper even timesteps) or 'lambda' (even log-SNR steps, the
             DPM-Solver grid; typically better at small step budgets). See
@@ -903,7 +939,7 @@ class Imagen:
         scheduler = self.noise_schedulers[stage]
         start_at = min(int(start_noise_level * scheduler.num_timesteps),
                        scheduler.num_timesteps - 1)
-        if sampler in ("ddim", "dpmpp"):
+        if sampler in ("ddim", "dpmpp", "unipc"):
             steps = default(sample_steps, min(50, scheduler.num_timesteps))
             ts_grid = np.asarray(
                 scheduler.strided_sampling_timesteps(steps, grid))[:, 0]

@@ -202,6 +202,81 @@ class GaussianDiffusion:
         return out
 
 
+    def unipc_c_coefficients(self, pairs: np.ndarray) -> np.ndarray:
+        """Per-step UniC-2 corrector coefficients for the UniPC sampler
+        (Zhao et al., UniPC: A Unified Predictor-Corrector Framework,
+        arXiv 2302.04867; data-prediction form, B(h) = e^{hh} - 1 a.k.a.
+        'bh2'), precomputed on the host in float64.
+
+        UniPC-2's *predictor* is algebraically identical to the
+        DPM-Solver++(2M) update (:meth:`dpmpp_2m_coefficients`); the new
+        piece is the *corrector*, which reuses the model call at each grid
+        point to re-integrate the transition that LANDED there with one more
+        Taylor term — order-3 local accuracy at the same number of model
+        evaluations.
+
+        Row i is applied at grid point i, where the model was just evaluated
+        (giving the thresholded data prediction x0_t), and corrects the
+        transition of row i-1 — from s0 = t_{i-1} to t = t_i — by
+        recomputing it FROM the (corrected) previous sample x_s0:
+
+            x_corr = c_self*x + cr*x_s0 + cm0*x0_s0
+                     + cd1*(x0_s1 - x0_s0) + cdt*(x0_t - x0_s0)
+
+        where x is the uncorrected predictor output at t_i (only used to
+        evaluate the model), x0_s0/x0_s1 are the model outputs at the
+        previous one/two grid points. Row 0 is the identity (c_self=1:
+        nothing to correct); row 1 is the order-1 corrector (no s1 history,
+        cd1=0); rows 2+ are order 2. The rho weights are solved exactly from
+        the B(h) linear system at each step's finite h (the public
+        implementations hardcode the h->0 limit rho=[0.5] for the low-order
+        cases; the exact solve is what the system prescribes).
+
+        With a constant x0 prediction every difference term vanishes and
+        cr*x_s0 + cm0*x0 is algebraically the exact transition
+        (:meth:`ddim_step` from s0 to t) — the corrector preserves the exact
+        solution, pinned by tests as the same golden cross-check as the
+        DPM++ coefficients. The transition into the terminal t_prev = -1 is
+        never corrected (no model call happens after the final grid point) —
+        standard lower-order-final behavior.
+        """
+        pairs = np.asarray(pairs, np.int64)
+        K = len(pairs)
+        out = np.zeros((K, 5), np.float64)
+        out[0, 0] = 1.0
+        if K > 1:
+            ac = np.asarray(self.alphas_cumprod, np.float64)
+            a = np.sqrt(ac)
+            s = np.sqrt(1.0 - ac)
+            lam = np.log(a / s)
+            for i in range(1, K):
+                s0, t = pairs[i - 1]
+                assert t == pairs[i, 0] and t >= 0
+                h = lam[t] - lam[s0]  # > 0: lambda increases as noise decreases
+                hh = -h               # data-prediction sign convention
+                h_phi_1 = np.expm1(hh)  # e^{-h} - 1 < 0
+                B_h = h_phi_1           # 'bh2'
+                b0 = (h_phi_1 / hh - 1.0) / B_h
+                rho_hist, rho_t, r1 = 0.0, b0, 1.0
+                if i >= 2:
+                    s1 = pairs[i - 2, 0]
+                    r1 = (lam[s1] - lam[s0]) / h  # < 0: s1 is the NOISIER past point
+                    h_phi_2 = (h_phi_1 / hh - 1.0) / hh - 0.5
+                    b1 = 2.0 * h_phi_2 / B_h
+                    # solve [[1, 1], [r1, 1]] @ [rho_hist, rho_t] = [b0, b1]
+                    rho_hist = (b0 - b1) / (1.0 - r1)
+                    rho_t = b0 - rho_hist
+                cr = s[t] / s[s0]
+                cm0 = -a[t] * h_phi_1  # = a_t * (1 - e^{-h}) > 0
+                # D1_s1 = (x0_s1 - x0_s0)/r1 folded into the coefficient
+                cd1 = -a[t] * B_h * rho_hist / r1
+                cdt = -a[t] * B_h * rho_t
+                out[i] = (0.0, cr, cm0, cd1, cdt)
+        res = out.astype(np.float32)
+        assert np.all(np.isfinite(res)), "non-finite UniPC corrector coefficients"
+        return res
+
+
 def create_gaussian_diffusion(timesteps: int) -> GaussianDiffusion:
     """Build the schedule in float64 numpy; store float32 device buffers.
 

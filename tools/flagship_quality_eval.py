@@ -132,10 +132,10 @@ def base_only(imagen):
 
 
 def eval_solver(imagen, embeds, masks, outdir, results):
-    """ddim vs dpmpp at 10/20/50 on the lambda grid, base stage (64px)."""
+    """ddim vs dpmpp vs unipc at 10/20/50 on the lambda grid, base stage (64px)."""
     key = jax.random.PRNGKey(7)
     base = base_only(imagen)
-    for sampler in ("ddim", "dpmpp"):
+    for sampler in ("ddim", "dpmpp", "unipc"):
         for steps in (10, 20, 50):
             out, wall = timed_sample(base, embeds, masks, key,
                                      sampler=sampler, sample_steps=steps,
