@@ -27,7 +27,7 @@ def main():
                         help="Number of DDIM steps (default min(50, T)); a "
                              "comma list sets per-stage budgets, e.g. '50,20' "
                              "— SR stages need far fewer steps than the base")
-    parser.add_argument("--GRID", dest="GRID", choices=["time", "lambda"], default="time",
+    parser.add_argument("--GRID", dest="GRID", choices=["time", "lambda", "karras"], default="time",
                         help="strided-sampler timestep spacing: 'time' (even "
                              "timesteps, DDIM default) or 'lambda' (even log-SNR "
                              "steps, the DPM-Solver grid — better at small budgets)")

@@ -750,8 +750,10 @@ class Imagen:
             a corrector reusing each model call — order-3 local accuracy at
             the same cost; regime-dependent gains at small budgets).
         :param grid: timestep spacing for the strided samplers — 'time'
-            (DDIM-paper even timesteps) or 'lambda' (even log-SNR steps, the
-            DPM-Solver grid; typically better at small step budgets). See
+            (DDIM-paper even timesteps), 'lambda' (even log-SNR steps, the
+            DPM-Solver grid; typically better at small step budgets), or
+            'karras' (even sigma^(1/7) steps, the EDM grid of arXiv
+            2206.00364 — a milder low-noise concentration). See
             `GaussianDiffusion.strided_sampling_timesteps`.
         :param sample_steps: number of DDIM/DPM++ steps (default min(50, T)), or a
             per-stage sequence, e.g. ``(50, 20)`` — super-res stages condition

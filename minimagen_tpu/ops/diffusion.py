@@ -111,16 +111,27 @@ class GaussianDiffusion:
         sampling cost drops from T model calls to `num_steps`.
 
         :param spacing: 'time' (evenly strided timesteps — the DDIM-paper
-            default) or 'lambda' (evenly strided in log-SNR
+            default), 'lambda' (evenly strided in log-SNR
             lambda = log(alpha/sigma), the DPM-Solver grid: equal-size
             solver steps h_i, concentrating model calls in the
             high-curvature low-noise tail — typically better at small
-            `num_steps`, especially for 'dpmpp').
+            `num_steps`, especially for 'dpmpp'), or 'karras' (evenly
+            strided in sigma^(1/7) with sigma = sqrt((1-abar)/abar), the
+            EDM noise grid of Karras et al., arXiv 2206.00364 eq. 5: a
+            milder low-noise concentration than 'lambda').
         """
         assert 1 <= num_steps <= self.num_timesteps
-        assert spacing in ("time", "lambda"), f"unknown spacing {spacing!r}"
+        assert spacing in ("time", "lambda", "karras"), f"unknown spacing {spacing!r}"
         if spacing == "time":
             ts = np.linspace(0, self.num_timesteps - 1, num_steps).round().astype(np.int64)
+        elif spacing == "karras":
+            ac = np.asarray(self.alphas_cumprod, np.float64)[: self.num_timesteps]
+            sig = np.sqrt((1.0 - ac) / ac)  # VP sigma, decreasing as t -> 0
+            warped = sig ** (1.0 / 7.0)  # Karras rho = 7
+            # from sigma_max (t = T-1) down to sigma_min (t = 0); nearest
+            # lookup in the warped space (monotone in t)
+            targets = np.linspace(warped[-1], warped[0], num_steps)
+            ts = np.abs(warped[None, :] - targets[:, None]).argmin(axis=1)
         else:
             ac = np.asarray(self.alphas_cumprod, np.float64)
             lam = 0.5 * (np.log(ac) - np.log1p(-ac))  # log(alpha/sigma), increasing as t -> 0

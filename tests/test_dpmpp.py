@@ -128,6 +128,40 @@ def test_lambda_grid_structure():
         gd.strided_sampling_timesteps(10, "nope")
 
 
+def test_karras_grid_structure():
+    """EDM sigma^(1/7) spacing (arXiv 2206.00364): same invariants as the
+    other grids, with a low-noise tail concentration strictly between
+    'time' (none) and 'lambda' (strongest)."""
+    gd = create_gaussian_diffusion(1000)
+    pairs = gd.strided_sampling_timesteps(10, "karras")
+    ts = pairs[:, 0]
+    assert ts[0] == 999 and ts[-1] == 0 and pairs[-1, 1] == -1
+    assert np.all(np.diff(ts) < 0)
+    np.testing.assert_array_equal(pairs[:-1, 1], pairs[1:, 0])
+    # tail concentration: the last interior timestep sits below the time
+    # grid's and above the lambda grid's
+    t_time = gd.strided_sampling_timesteps(10, "time")[-2, 0]
+    t_lam = gd.strided_sampling_timesteps(10, "lambda")[-2, 0]
+    assert t_lam < ts[-2] < t_time, (t_lam, ts[-2], t_time)
+
+
+def test_sample_karras_grid_end_to_end():
+    imagen = Imagen(unets=[BaseTest()], image_sizes=(8,), timesteps=25,
+                    cond_drop_prob=0.15, text_encoder_name="t5_small")
+    imagen.init_params(KEY, batch_size=2, text_len=6)
+    embeds = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 512))
+    mask = jnp.ones((2, 6), bool)
+    kwargs = dict(text_embeds=embeds, text_masks=mask, cond_scale=3.0,
+                  sampler="dpmpp", sample_steps=6, key=jax.random.PRNGKey(2))
+    imgs = imagen.sample(grid="karras", **kwargs)
+    arr = np.asarray(imgs)
+    assert arr.shape == (2, 8, 8, 3) and np.all(np.isfinite(arr))
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    # a genuinely different grid than 'time' at the same key
+    t_imgs = imagen.sample(grid="time", **kwargs)
+    assert np.abs(np.asarray(t_imgs) - arr).max() > 1e-4
+
+
 def test_lambda_grid_improves_few_step_dpmpp():
     """On the linear-model ODE the lambda grid should not be worse than the
     time grid for DPM++ at a small budget (equal-h steps suit the 2M
