@@ -37,6 +37,11 @@ def main():
                              "every N-th sampler step and reuse it in between "
                              "(Faster Diffusion; 0/1 = off, exact numerics; "
                              "'auto' = per-stage cost model — the library default)")
+    parser.add_argument("--GUIDANCE_RESCALE", dest="GUIDANCE_RESCALE", type=float, default=0.0,
+                        help="CFG rescale phi (arXiv 2305.08891): pulls the guided "
+                             "prediction's std back to the conditional one's, fixing "
+                             "the overexposure large cond_scale causes; 0 = exact "
+                             "reference combine, 0.5-0.7 recommended at high scales")
     parser.add_argument("--SEED", dest="SEED", type=int, default=None,
                         help="PRNG seed for reproducible samples (default: fresh "
                              "entropy per run, like the reference)")
@@ -62,6 +67,8 @@ def main():
         sample_args["sample_steps"] = args.SAMPLE_STEPS
     if args.CACHE_INTERVAL is not None:
         sample_args["cache_interval"] = args.CACHE_INTERVAL
+    if args.GUIDANCE_RESCALE:
+        sample_args["guidance_rescale"] = args.GUIDANCE_RESCALE
     if args.SEED is not None:
         import jax
         sample_args["key"] = jax.random.PRNGKey(args.SEED)

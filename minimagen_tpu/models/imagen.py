@@ -74,6 +74,7 @@ class SampleKey(NamedTuple):
     cache_interval: Optional[int]
     start_at: Optional[int]
     grid: str
+    guidance_rescale: float = 0.0
 
 
 def _loss_fn(loss_type: str):
@@ -242,6 +243,7 @@ class Imagen:
 
     def _cfg_forward(self, stage, unet_params, x, t, *, text_embeds, text_mask,
                      lowres_cond_img, lowres_noise_times, cond_scale,
+                     guidance_rescale: float = 0.0,
                      encoder_cache=None, return_encoder_cache=False):
         """One pair-batched forward: rows [0:b] conditioned, [b:2b] null.
 
@@ -249,6 +251,15 @@ class Imagen:
         (`forward_with_cond_scale`, Unet.py:474-506). An `encoder_cache` is
         already pair-batched (it came from this function) and passes through
         un-duplicated.
+
+        `guidance_rescale` (phi of arXiv 2305.08891 §3.4, "Common Diffusion
+        Noise Schedules and Sample Steps are Flawed") counteracts the
+        overexposure/saturation CFG causes at large `cond_scale`: the guided
+        prediction's per-sample std is rescaled back to the conditional
+        prediction's std, then blended (phi * rescaled + (1-phi) * guided).
+        0.0 (default) is the exact reference combine — the extra ops are
+        gated at trace time, so default graphs (and their compile-cache
+        entries) are byte-identical to before this feature existed.
         """
         b = x.shape[0]
         dup = lambda a: None if a is None else jnp.concatenate([a, a], axis=0)
@@ -267,10 +278,18 @@ class Imagen:
             out, cache = out
         logits, null_logits = out[:b], out[b:]
         guided_out = null_logits + (logits - null_logits) * cond_scale
+        if guidance_rescale > 0.0:  # static gate: phi=0 traces the exact reference graph
+            axes = tuple(range(1, guided_out.ndim))
+            std_pos = jnp.std(logits, axis=axes, keepdims=True)
+            std_cfg = jnp.std(guided_out, axis=axes, keepdims=True)
+            rescaled = guided_out * (std_pos / jnp.maximum(std_cfg, 1e-8))
+            guided_out = (guidance_rescale * rescaled
+                          + (1.0 - guidance_rescale) * guided_out)
         return (guided_out, cache) if return_encoder_cache else guided_out
 
     def forward_with_cond_scale(self, x, time, *, unet_number: int = 1,
                                 cond_scale: float = 1.0,
+                                guidance_rescale: float = 0.0,
                                 params: Optional[Dict[str, Any]] = None, **conditioning):
         """Guided U-Net forward (reference `Unet.forward_with_cond_scale`,
         Unet.py:474-506) — here ONE pair-batched forward instead of two
@@ -286,13 +305,15 @@ class Imagen:
         )
         if cond_scale == 1.0:
             return self._unet_forward(stage, unet_params, x, time, **kwargs)
-        return self._cfg_forward(stage, unet_params, x, time, cond_scale=cond_scale, **kwargs)
+        return self._cfg_forward(stage, unet_params, x, time, cond_scale=cond_scale,
+                                 guidance_rescale=guidance_rescale, **kwargs)
 
     # ------------------------------------------------------------------ #
     # sampling                                                            #
     # ------------------------------------------------------------------ #
     def _predict_x_start(self, stage, scheduler, unet_params, x, t, *, text_embeds, text_mask,
                          lowres_cond_img, lowres_noise_times, cond_scale, guided: bool,
+                         guidance_rescale: float = 0.0,
                          encoder_cache=None, return_encoder_cache=False):
         """Predict noise with the U-Net (pair-batched CFG when guided),
         recover x0, and dynamic-threshold it (reference Imagen.py:298-323)."""
@@ -300,7 +321,8 @@ class Imagen:
                   lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
                   encoder_cache=encoder_cache, return_encoder_cache=return_encoder_cache)
         if guided:
-            pred = self._cfg_forward(stage, unet_params, x, t, cond_scale=cond_scale, **kw)
+            pred = self._cfg_forward(stage, unet_params, x, t, cond_scale=cond_scale,
+                                     guidance_rescale=guidance_rescale, **kw)
         else:
             pred = self._unet_forward(stage, unet_params, x, t, **kw)
         cache = None
@@ -339,13 +361,14 @@ class Imagen:
 
     def _p_mean_variance(self, stage, scheduler, unet_params, x, t, *, text_embeds, text_mask,
                          lowres_cond_img, lowres_noise_times, cond_scale, guided: bool,
+                         guidance_rescale: float = 0.0,
                          encoder_cache=None, return_encoder_cache=False):
         """Posterior parameters from the thresholded x0 prediction
         (reference Imagen.py:261-326)."""
         x_start = self._predict_x_start(
             stage, scheduler, unet_params, x, t, text_embeds=text_embeds, text_mask=text_mask,
             lowres_cond_img=lowres_cond_img, lowres_noise_times=lowres_noise_times,
-            cond_scale=cond_scale, guided=guided,
+            cond_scale=cond_scale, guided=guided, guidance_rescale=guidance_rescale,
             encoder_cache=encoder_cache, return_encoder_cache=return_encoder_cache,
         )
         cache = None
@@ -357,7 +380,8 @@ class Imagen:
     def _build_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
                             sample_steps: Optional[int] = None, progress: bool = False,
                             cache_interval: Optional[int] = None,
-                            start_at: Optional[int] = None, grid: str = "time"):
+                            start_at: Optional[int] = None, grid: str = "time",
+                            guidance_rescale: float = 0.0):
         """A jittable full reverse-diffusion pass for one cascade stage.
 
         Returns fn(params, key, shape-bearing args...) -> [0,1] images.
@@ -423,6 +447,7 @@ class Imagen:
                 return self._predict_x_start(
                     stage, scheduler, unet_params, img, t, **cond_kwargs,
                     cond_scale=cond_scale, guided=guided,
+                    guidance_rescale=guidance_rescale,
                     encoder_cache=encoder_cache,
                     return_encoder_cache=return_encoder_cache,
                 )
@@ -557,15 +582,18 @@ class Imagen:
     def _jitted_sample_stage(self, stage: int, guided: bool, sampler: str = "ddpm",
                              sample_steps: Optional[int] = None, progress: bool = False,
                              cache_interval: Optional[int] = None,
-                             start_at: Optional[int] = None, grid: str = "time"):
+                             start_at: Optional[int] = None, grid: str = "time",
+                             guidance_rescale: float = 0.0):
         assert cache_interval is None or isinstance(cache_interval, int), (
             "'auto' must be resolved via _resolve_cache_interval before here")
         cache_key = SampleKey("sample", stage, guided, sampler, sample_steps,
-                              progress, cache_interval, start_at, grid)
+                              progress, cache_interval, start_at, grid,
+                              guidance_rescale)
         if cache_key not in self._jit_cache:
             self._jit_cache[cache_key] = jax.jit(
                 self._build_sample_stage(stage, guided, sampler, sample_steps,
-                                         progress, cache_interval, start_at, grid)
+                                         progress, cache_interval, start_at, grid,
+                                         guidance_rescale)
             )
         return self._jit_cache[cache_key]
 
@@ -709,10 +737,19 @@ class Imagen:
         device=None,
         mesh=None,
         sr_start_noise_levels: Union[float, Sequence[Optional[float]], None] = None,
+        guidance_rescale: float = 0.0,
     ):
         """Generate images for captions (reference Imagen.py:422-510).
 
         :param cond_scale: classifier-free guidance scale (1 = plain conditional).
+        :param guidance_rescale: phi of arXiv 2305.08891 §3.4 — rescales the
+            guided noise prediction's per-sample std back to the conditional
+            prediction's std, then blends (phi * rescaled + (1-phi) * guided),
+            counteracting the overexposure/washed-out contrast CFG causes at
+            large `cond_scale`. 0.0 (default) keeps the exact reference
+            combine and traces a byte-identical graph; 0.5-0.7 is the paper's
+            recommended range for high guidance scales. Only meaningful when
+            `cond_scale != 1`.
         :param lowres_sample_noise_level: fixed noise-augmentation level for
             super-res conditioning (defaults to the constructor value, 0.2).
         :param params: explicit param pytree ({'unet_0': ...}); defaults to
@@ -895,7 +932,8 @@ class Imagen:
                                                    batch_size, init_key)
             sample_fn = self._jitted_sample_stage(stage, guided, sampler, stage_steps,
                                                   progress, stage_cache,
-                                                  start_at=start_at, grid=grid)
+                                                  start_at=start_at, grid=grid,
+                                                  guidance_rescale=float(guidance_rescale))
             if progress:
                 from ..utils.progress import ProgressBar  # noqa: PLC0415
                 T = self.noise_schedulers[stage].num_timesteps
@@ -978,6 +1016,7 @@ class Imagen:
         grid: str = "time",
         cache_interval: Union[int, str, None] = "auto",
         start_noise_level: Optional[float] = None,
+        guidance_rescale: float = 0.0,
     ):
         """Upscale EXISTING images through one super-res stage (a TPU-era
         capability beyond the reference, which can only run the full cascade
@@ -1038,7 +1077,8 @@ class Imagen:
             cache_interval, stage, b * (2 if guided else 1), text_embeds.shape[1])
         sample_fn = self._jitted_sample_stage(stage, guided, sampler, sample_steps,
                                               cache_interval=stage_cache,
-                                              start_at=start_at, grid=grid)
+                                              start_at=start_at, grid=grid,
+                                              guidance_rescale=float(guidance_rescale))
         return sample_fn(
             params[f"unet_{stage}"], stage_key, text_embeds, text_masks,
             jnp.float32(cond_scale), lowres_cond_img, lowres_noise_times,

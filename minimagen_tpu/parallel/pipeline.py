@@ -53,7 +53,8 @@ class CascadePipelineServer:
                  cond_scale: float = 3.0, sampler: str = "ddim",
                  sample_steps=None, grid: str = "time",
                  cache_interval=None, lowres_sample_noise_level=None,
-                 params: Optional[Dict[str, Any]] = None, depth: int = 2):
+                 params: Optional[Dict[str, Any]] = None, depth: int = 2,
+                 guidance_rescale: float = 0.0):
         self.imagen = imagen
         self.meshes = list(meshes) if meshes is not None else make_stage_meshes(imagen.num_unets)
         assert len(self.meshes) == imagen.num_unets
@@ -63,6 +64,7 @@ class CascadePipelineServer:
         self.sample_steps = sample_steps
         self.grid = grid
         self.cache_interval = cache_interval
+        self.guidance_rescale = float(guidance_rescale)
         self.noise_level = default(lowres_sample_noise_level,
                                    imagen.lowres_sample_noise_level)
         self.depth = int(depth)
@@ -125,7 +127,8 @@ class CascadePipelineServer:
                 batch_size * (2 if self.guided else 1), text_embeds.shape[1])
             sample_fn = imagen._jitted_sample_stage(
                 stage, self.guided, self.sampler, self._stage_steps(stage),
-                False, stage_cache, grid=self.grid)
+                False, stage_cache, grid=self.grid,
+                guidance_rescale=self.guidance_rescale)
             img = sample_fn(self.params[stage], stage_key, embeds_s, masks_s,
                             jnp.float32(self.cond_scale), lowres_cond_img,
                             lowres_noise_times)

@@ -585,3 +585,49 @@ def test_dynamic_threshold_dispatch_by_size(monkeypatch):
     assert "sort[" in threshold_jaxpr()
     monkeypatch.setenv("MINIMAGEN_TPU_APPROX_THRESHOLD_MIN", "64")
     assert "sort[" not in threshold_jaxpr()
+
+
+def test_guidance_rescale_zero_is_exact_and_std_property(cascade):
+    """CFG rescale (arXiv 2305.08891 §3.4): phi=0 is bit-exact the reference
+    combine; phi=1 pulls the guided prediction's per-sample std back to the
+    conditional prediction's; intermediate phi blends linearly."""
+    _, embeds, mask = _batch()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    t = jnp.array([3, 7], jnp.int32)
+    kw = dict(unet_number=1, cond_scale=7.0, text_embeds=embeds, text_mask=mask)
+
+    guided = cascade.forward_with_cond_scale(x, t, **kw)
+    phi0 = cascade.forward_with_cond_scale(x, t, guidance_rescale=0.0, **kw)
+    np.testing.assert_array_equal(np.asarray(guided), np.asarray(phi0))
+
+    cond = cascade._unet_forward(0, cascade.params["unet_0"], x, t,
+                                 text_embeds=embeds, text_mask=mask,
+                                 lowres_cond_img=None, lowres_noise_times=None,
+                                 text_keep_mask=jnp.array([True, True]))
+    phi1 = cascade.forward_with_cond_scale(x, t, guidance_rescale=1.0, **kw)
+    std_cond = np.std(np.asarray(cond), axis=(1, 2, 3))
+    std_phi1 = np.std(np.asarray(phi1), axis=(1, 2, 3))
+    np.testing.assert_allclose(std_phi1, std_cond, rtol=1e-4)
+
+    # blend: phi * rescaled + (1-phi) * guided, with rescaled = guided * ratio
+    phi = 0.6
+    mid = cascade.forward_with_cond_scale(x, t, guidance_rescale=phi, **kw)
+    g = np.asarray(guided)
+    ratio = (std_cond / np.maximum(np.std(g, axis=(1, 2, 3)), 1e-8))[:, None, None, None]
+    expected = phi * (g * ratio) + (1.0 - phi) * g
+    np.testing.assert_allclose(np.asarray(mid), expected, atol=1e-5)
+
+
+def test_sample_guidance_rescale_end_to_end(cascade):
+    """guidance_rescale threads through sample(): distinct jit-cache entry,
+    finite output, differs from phi=0 at the same key."""
+    _, embeds, mask = _batch()
+    kw = dict(text_embeds=embeds, text_masks=mask, cond_scale=5.0,
+              sampler="ddim", sample_steps=4, key=jax.random.PRNGKey(11))
+    base = cascade.sample(**kw)
+    rescaled = cascade.sample(guidance_rescale=0.7, **kw)
+    assert rescaled.shape == base.shape
+    assert np.all(np.isfinite(np.asarray(rescaled)))
+    assert not np.allclose(np.asarray(base), np.asarray(rescaled))
+    keys = [k for k in cascade._jit_cache if getattr(k, "guidance_rescale", 0.0) == 0.7]
+    assert keys, "rescaled sampler must get its own jit-cache entry"
