@@ -70,6 +70,11 @@ def main():
                         "(a few-hundred-step warmup transient).")
     p.add_argument("--resume_tag", type=str, default="final",
                    help="checkpoint tag inside --resume (final|latest)")
+    p.add_argument("--min_snr_gamma", type=float, default=None,
+                   help="Min-SNR loss weighting gamma (arXiv 2303.09556; "
+                        "paper recommends 5). None = unweighted reference "
+                        "loss. NOTE: changes the train-step graph, so the "
+                        "first chunk pays a fresh tunnel compile.")
     p.add_argument("--tiny", action="store_true",
                    help="dim-16 stand-in cascade for CPU smoke-testing the "
                         "script mechanics (not a quality run)")
@@ -82,11 +87,17 @@ def main():
 
         imagen = Imagen(unets=[BaseTest(), SuperTest()], image_sizes=(8, 16),
                         timesteps=50, cond_drop_prob=0.1,
-                        text_encoder_name="t5_small")
+                        text_encoder_name="t5_small",
+                        min_snr_gamma=args.min_snr_gamma)
     else:
         from __graft_entry__ import _flagship_imagen
 
         imagen = _flagship_imagen()  # bf16 compute, f32 params
+        if args.min_snr_gamma is not None:
+            from minimagen_tpu.models.imagen import _per_sample_loss_fn
+
+            imagen.min_snr_gamma = float(args.min_snr_gamma)
+            imagen.per_sample_loss_fn = _per_sample_loss_fn(imagen.loss_type)
     imagen.init_params(jax.random.PRNGKey(0), batch_size=2,
                        text_len=args.max_length)
     n_params = sum(int(np.prod(l.shape))

@@ -631,3 +631,62 @@ def test_sample_guidance_rescale_end_to_end(cascade):
     assert not np.allclose(np.asarray(base), np.asarray(rescaled))
     keys = [k for k in cascade._jit_cache if getattr(k, "guidance_rescale", 0.0) == 0.7]
     assert keys, "rescaled sampler must get its own jit-cache entry"
+
+
+def _single_stage(min_snr_gamma=None):
+    im = Imagen(unets=[BaseTest()], image_sizes=8, timesteps=25,
+                cond_drop_prob=0.15, text_encoder_name="t5_small",
+                min_snr_gamma=min_snr_gamma)
+    im.init_params(KEY, batch_size=2, text_len=6)
+    return im
+
+
+def test_min_snr_default_off_and_validation():
+    """min_snr_gamma=None (default) keeps the reference's unweighted loss
+    path; gamma must be positive."""
+    im = _single_stage()
+    assert im.min_snr_gamma is None
+    with pytest.raises(AssertionError):
+        _single_stage(min_snr_gamma=-1.0)
+
+
+def test_min_snr_weighting_math():
+    """arXiv 2303.09556 weighting: with all batch rows at the same timestep t,
+    weighted loss == min(SNR(t), gamma)/SNR(t) * unweighted loss (the weight
+    is constant across the batch, so it factors out of the mean). Huge gamma
+    => weight 1 everywhere => identical to the unweighted model."""
+    plain = _single_stage()
+    gamma = 5.0
+    weighted = _single_stage(min_snr_gamma=gamma)
+    x, embeds, mask = _batch(size=8)
+
+    sched = plain.noise_schedulers[0]
+    for t0 in (0, 5, 12, 24):
+        times = jnp.full((2,), t0, jnp.int32)
+        kw = dict(key=jax.random.PRNGKey(9), text_embeds=embeds, text_mask=mask)
+        base = float(plain._p_losses(0, plain.params["unet_0"], x, times, **kw))
+        got = float(weighted._p_losses(0, weighted.params["unet_0"], x, times, **kw))
+        abar = float(sched.alphas_cumprod[t0])
+        snr = abar / (1.0 - abar)
+        w = min(snr, gamma) / snr
+        np.testing.assert_allclose(got, w * base, rtol=1e-5)
+
+    big = _single_stage(min_snr_gamma=1e9)  # weight == 1 at every t
+    times = jnp.array([3, 20], jnp.int32)
+    kw = dict(key=jax.random.PRNGKey(9), text_embeds=embeds, text_mask=mask)
+    np.testing.assert_allclose(
+        float(big._p_losses(0, big.params["unet_0"], x, times, **kw)),
+        float(plain._p_losses(0, plain.params["unet_0"], x, times, **kw)),
+        rtol=1e-6)
+
+
+def test_min_snr_config_roundtrip():
+    """The ctor kwarg persists through the training-config completion step, so
+    restarted runs inherit it from the saved JSON."""
+    from minimagen_tpu.training import imagen_config_dict
+    cfg = imagen_config_dict(dict(image_sizes=[8], timesteps=25,
+                                  text_encoder_name="t5_small",
+                                  min_snr_gamma=5.0))
+    assert cfg["min_snr_gamma"] == 5.0
+    assert imagen_config_dict(dict(image_sizes=[8], timesteps=25,
+                                   text_encoder_name="t5_small"))["min_snr_gamma"] is None

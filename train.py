@@ -52,6 +52,12 @@ def main():
                         help="Adam first-moment dtype; bf16 halves the m-buffer "
                              "HBM traffic in the bandwidth-bound update fusions "
                              "(measured train recipe, docs/SERVING.md)")
+    parser.add_argument("--MIN_SNR_GAMMA", dest="MIN_SNR_GAMMA", type=float, default=None,
+                        help="Min-SNR loss weighting gamma (arXiv 2303.09556): "
+                             "per-sample losses weighted by min(SNR(t), gamma)/SNR(t); "
+                             "paper recommends 5. Default None = the reference's "
+                             "unweighted loss. Persisted in the run's imagen config "
+                             "JSON, so restarts inherit it.")
     parser.add_argument("--ZERO1", dest="ZERO1", choices=["on", "off", "fsdp"],
                         default="on",
                         help="Optimizer/param sharding over the 'data' mesh axis "
@@ -97,6 +103,8 @@ def main():
         else:
             unets_params, imagen_params = get_model_params(args.PARAMETERS)
             imagen_params = {k: v for k, v in imagen_params.items() if k != "unets"}
+        if args.MIN_SNR_GAMMA is not None:  # CLI overrides any JSON value
+            imagen_params["min_snr_gamma"] = args.MIN_SNR_GAMMA
 
         unets = [Unet.from_dict(p) for p in unets_params]
         import jax.numpy as jnp
