@@ -134,6 +134,7 @@ class Imagen:
         dynamic_thresholding_percentile: float = 0.9,
         only_train_unet_number: Optional[int] = None,
         min_snr_gamma: Optional[float] = None,
+        offset_noise_scale: float = 0.0,
         dtype: Any = jnp.float32,
         remat: bool = False,
     ):
@@ -151,6 +152,18 @@ class Imagen:
         if self.min_snr_gamma is not None:
             assert self.min_snr_gamma > 0.0, "min_snr_gamma must be > 0"
             self.per_sample_loss_fn = _per_sample_loss_fn(loss_type)
+        # Offset noise (Guttenberg/crowsonkb, popularized by SDXL-era
+        # fine-tunes): the forward-process noise gets a per-(sample, channel)
+        # bias `scale * N(0,1)` broadcast over H×W, teaching the model to
+        # move the image mean — standard diffusion can barely produce very
+        # dark/bright images because eps-prediction at high t preserves the
+        # init noise's near-zero spatial mean. 0.0 (default) is the exact
+        # reference forward process (statically gated, byte-identical graph);
+        # 0.05-0.15 is the commonly used range. Applies to the loss target
+        # too (the model predicts the offset-ed noise), which keeps sampling
+        # unchanged.
+        self.offset_noise_scale = float(offset_noise_scale)
+        assert self.offset_noise_scale >= 0.0, "offset_noise_scale must be >= 0"
         self.channels = channels
         self.dtype = dtype
 
@@ -1134,6 +1147,13 @@ class Imagen:
         noise_key, lowres_key, drop_key = jax.random.split(key, 3)
 
         noise = default(noise, lambda: jax.random.normal(noise_key, x_start.shape, jnp.float32))
+        if self.offset_noise_scale > 0.0:  # static gate: 0 = exact reference noise
+            # per-(sample, channel) bias broadcast over H×W; folded key keeps
+            # the scale=0 path's PRNG stream untouched
+            off = jax.random.normal(jax.random.fold_in(noise_key, 1),
+                                    (x_start.shape[0],) + (1,) * (x_start.ndim - 2)
+                                    + (x_start.shape[-1],), jnp.float32)
+            noise = noise + self.offset_noise_scale * off
         x_start = self.normalize_img(x_start)
         lowres_cond_img = maybe(self.normalize_img)(lowres_cond_img)
 

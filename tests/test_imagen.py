@@ -690,3 +690,38 @@ def test_min_snr_config_roundtrip():
     assert cfg["min_snr_gamma"] == 5.0
     assert imagen_config_dict(dict(image_sizes=[8], timesteps=25,
                                    text_encoder_name="t5_small"))["min_snr_gamma"] is None
+
+
+def test_offset_noise_exactness_and_equivalence():
+    """offset_noise_scale=0 (default) is the exact reference forward process;
+    scale>0 with internally drawn noise equals the plain model fed
+    noise + scale*offset explicitly (offset reproduced from the folded key),
+    proving both the formula and that the base PRNG stream is untouched."""
+    plain = _single_stage()
+    assert plain.offset_noise_scale == 0.0
+    s = 0.1
+    offset_model = Imagen(unets=[BaseTest()], image_sizes=8, timesteps=25,
+                          cond_drop_prob=0.15, text_encoder_name="t5_small",
+                          offset_noise_scale=s)
+    offset_model.init_params(KEY, batch_size=2, text_len=6)
+
+    x, embeds, mask = _batch(size=8)
+    key = jax.random.PRNGKey(21)
+    kw = dict(key=key, text_embeds=embeds, text_mask=mask)
+
+    # reproduce the internal draw: noise_key is split(key, 3)[0]
+    noise_key = jax.random.split(key, 3)[0]
+    noise = jax.random.normal(noise_key, x.shape, jnp.float32)
+    off = jax.random.normal(jax.random.fold_in(noise_key, 1),
+                            (x.shape[0], 1, 1, x.shape[-1]), jnp.float32)
+
+    got = float(offset_model._p_losses(0, offset_model.params["unet_0"], x,
+                                       jnp.array([3, 20], jnp.int32), **kw))
+    want = float(plain._p_losses(0, plain.params["unet_0"], x,
+                                 jnp.array([3, 20], jnp.int32),
+                                 noise=noise + s * off, **kw))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    with pytest.raises(AssertionError):
+        Imagen(unets=[BaseTest()], image_sizes=8, timesteps=25,
+               text_encoder_name="t5_small", offset_noise_scale=-0.1)

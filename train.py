@@ -58,6 +58,14 @@ def main():
                              "paper recommends 5. Default None = the reference's "
                              "unweighted loss. Persisted in the run's imagen config "
                              "JSON, so restarts inherit it.")
+    parser.add_argument("--OFFSET_NOISE", dest="OFFSET_NOISE", type=float, default=None,
+                        help="Offset-noise scale: adds a per-(sample, channel) "
+                             "bias scale*N(0,1) to the forward-process noise "
+                             "(and target), teaching the model to move the "
+                             "image mean — enables very dark/bright samples. "
+                             "Common range 0.05-0.15. Default None/0 = exact "
+                             "reference forward process. Persisted in the "
+                             "run's imagen config JSON.")
     parser.add_argument("--ZERO1", dest="ZERO1", choices=["on", "off", "fsdp"],
                         default="on",
                         help="Optimizer/param sharding over the 'data' mesh axis "
@@ -105,6 +113,8 @@ def main():
             imagen_params = {k: v for k, v in imagen_params.items() if k != "unets"}
         if args.MIN_SNR_GAMMA is not None:  # CLI overrides any JSON value
             imagen_params["min_snr_gamma"] = args.MIN_SNR_GAMMA
+        if args.OFFSET_NOISE is not None:
+            imagen_params["offset_noise_scale"] = args.OFFSET_NOISE
 
         unets = [Unet.from_dict(p) for p in unets_params]
         import jax.numpy as jnp
