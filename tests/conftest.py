@@ -4,7 +4,11 @@ Environment must be set before jax is first imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set (not setdefault): a stray JAX_PLATFORMS=axon inherited from the
+# launching shell must never leak into the suite — tool modules imported by
+# tests call respect_jax_platforms_env(), which would clear backends and flip
+# the whole process onto the remote-TPU tunnel mid-suite
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
