@@ -44,6 +44,14 @@ T5_VERSIONS = {
     "large1.1": {"handle": "google/t5-v1_1-large", "dim": 1024, "size": 3.13},
     "xl1.1": {"handle": "google/t5-v1_1-xl", "dim": 2048, "size": 11.4},
     "xxl1.1": {"handle": "google/t5-v1_1-xxl", "dim": 4096, "size": 44.5},
+    # Committed-in-repo REAL tiny T5 encoder (built by tools/make_tiny_t5.py):
+    # an actual FlaxT5EncoderModel (3 layers, d_model 64) loaded from a local
+    # directory — no network — so the production flax encode path can back
+    # offline training/eval runs with real contextual transformer encodings
+    # instead of the hash fallback. `local:` handles resolve relative to the
+    # repo root and are exempt from MINIMAGEN_TPU_T5_FALLBACK (they are
+    # offline-safe by construction).
+    "t5_tiny": {"handle": "local:assets/t5_tiny", "dim": 64, "size": 0.001},
 }
 
 _MODELS: dict = {}  # lazy (tokenizer, model) cache per name
@@ -58,18 +66,83 @@ def get_encoded_dim(name: str) -> int:
     return T5_VERSIONS[name]["dim"]
 
 
+class WordTokenizer:
+    """Deterministic word-level tokenizer for the committed local tiny T5.
+
+    The sandbox has no sentencepiece, so local T5 encoders pair with this
+    instead of the SP tokenizer: stable sha256-hashed word ids (pad=0, eos=1,
+    appended like the real T5 tokenizer), with the HF `batch_encode_plus`
+    surface `t5_encode_text` uses (longest-padding, truncation, np tensors).
+    Deterministic across processes — the "frozen encoder" property training
+    relies on holds.
+    """
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def _ids(self, text: str, max_length: int) -> List[int]:
+        ids = []
+        for w in text.lower().split():
+            digest = hashlib.sha256(w.encode("utf-8")).digest()
+            ids.append(int.from_bytes(digest[:4], "little") % (self.vocab_size - 2) + 2)
+        ids.append(1)  # </s> (the real T5 tokenizer appends EOS)
+        return ids[:max_length]
+
+    def batch_encode_plus(self, texts: List[str], padding: str = "longest",
+                          max_length: int = MAX_LENGTH, truncation: bool = True,
+                          return_tensors: str = "np"):
+        assert padding == "longest" and truncation and return_tensors == "np"
+        ids = [self._ids(t, max_length) for t in texts]
+        longest = max((len(i) for i in ids), default=1)
+        input_ids = np.zeros((len(ids), longest), dtype=np.int32)
+        attention_mask = np.zeros((len(ids), longest), dtype=np.int32)
+        for row, seq in enumerate(ids):
+            input_ids[row, : len(seq)] = seq
+            attention_mask[row, : len(seq)] = 1
+
+        class _Out:  # matches the HF BatchEncoding attribute surface used here
+            pass
+
+        out = _Out()
+        out.input_ids = input_ids
+        out.attention_mask = attention_mask
+        return out
+
+
+def _load_local(name: str, handle: str):
+    """Load a committed-in-repo flax T5 encoder (`local:<repo-relative-dir>`).
+
+    Offline by construction — exempt from the FORCE_FALLBACK env. Returns the
+    (kind, tokenizer, model) triple or None when the directory is absent."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo_root, handle[len("local:"):])
+    if not os.path.isdir(path):
+        return None
+    try:
+        from transformers import FlaxT5EncoderModel  # noqa: PLC0415
+
+        model = FlaxT5EncoderModel.from_pretrained(path)
+    except Exception:
+        return None
+    _MODELS[name] = ("flax", WordTokenizer(model.config.vocab_size), model)
+    return _MODELS[name]
+
+
 def _try_load_hf(name: str):
     """Load (kind, tokenizer, encoder) from the HF cache/network; None on failure.
 
     Prefers the Flax T5 encoder (runs ON the TPU next to the diffusion model —
     the TPU-native path) and falls back to the torch encoder on the host.
+    `local:` handles load a committed flax encoder from inside the repo.
     """
     if name in _MODELS:
         return _MODELS[name]
+    handle = T5_VERSIONS[name]["handle"]
+    if handle.startswith("local:"):
+        return _load_local(name, handle)
     if os.environ.get(FORCE_FALLBACK_ENV):
         return None
 
-    handle = T5_VERSIONS[name]["handle"]
     tok = None
     try:
         from transformers import T5Tokenizer  # noqa: PLC0415
