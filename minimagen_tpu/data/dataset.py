@@ -190,6 +190,28 @@ _SYNTH_COLORS = {
     "yellow": (0.9, 0.85, 0.1), "purple": (0.6, 0.15, 0.75), "orange": (0.95, 0.55, 0.1),
 }
 _SYNTH_SHAPES = ("square", "circle", "stripes")
+NUM_SYNTH_COMBOS = len(_SYNTH_COLORS) * len(_SYNTH_SHAPES)  # 18 (color, shape) pairs
+
+
+def synthetic_combo_caption(combo_id: int) -> str:
+    """Caption of (color, shape) combo `combo_id` in the canonical order
+    `_draw_synthetic` cycles through (combo_id == index % 18)."""
+    colors = list(_SYNTH_COLORS)
+    color = colors[combo_id % len(colors)]
+    shape = _SYNTH_SHAPES[(combo_id // len(colors)) % len(_SYNTH_SHAPES)]
+    return f"a {color} {shape}"
+
+
+def holdout_split(n_holdout: int, seed: int = 5) -> Tuple[List[int], List[int]]:
+    """Deterministic (train_combos, held_out_combos) split of the 18 synthetic
+    (color, shape) combos — the caption-generalization eval protocol
+    (round-4 VERDICT next #3): train excludes the held-out combos entirely,
+    then eval compares caption fidelity on seen vs never-seen combos."""
+    assert 0 <= n_holdout < NUM_SYNTH_COMBOS
+    rng = np.random.default_rng(seed)
+    held = sorted(int(i) for i in rng.choice(NUM_SYNTH_COMBOS, n_holdout, replace=False))
+    train = [i for i in range(NUM_SYNTH_COMBOS) if i not in held]
+    return train, held
 
 
 def _draw_synthetic(index: int, side: int) -> Tuple[np.ndarray, str]:
@@ -223,20 +245,35 @@ class SyntheticCaptionedImages:
     always produces the same (image, caption) pair."""
 
     def __init__(self, *, num_items: int, side_length: int, encoder_name: str,
-                 max_length: int, seed_offset: int = 0, failure_rate: float = 0.0):
+                 max_length: int, seed_offset: int = 0, failure_rate: float = 0.0,
+                 combos: Optional[List[int]] = None):
         self.num_items = num_items
         self.side_length = side_length
         self.seed_offset = seed_offset
         self.failure_rate = failure_rate  # simulate fetch failures for tests
         self.encoder = CaptionEncoder(encoder_name, max_length)
+        # optional restriction to a subset of the 18 (color, shape) combos
+        # (see holdout_split): item i cycles through `combos` and never
+        # produces an excluded pair, while instance variety (position/size
+        # noise) still advances with i
+        if combos is not None:
+            assert combos and all(0 <= c < NUM_SYNTH_COMBOS for c in combos)
+        self.combos = list(combos) if combos is not None else None
 
     def __len__(self):
         return self.num_items
 
+    def _underlying_index(self, idx: int) -> int:
+        if self.combos is None:
+            return idx + self.seed_offset
+        combo = self.combos[idx % len(self.combos)]
+        block = idx // len(self.combos)
+        return (block + self.seed_offset) * NUM_SYNTH_COMBOS + combo
+
     def __getitem__(self, idx: int) -> Optional[Dict[str, np.ndarray]]:
         if self.failure_rate > 0 and np.random.default_rng(idx).uniform() < self.failure_rate:
             return None
-        img, caption = _draw_synthetic(idx + self.seed_offset, self.side_length)
+        img, caption = _draw_synthetic(self._underlying_index(idx), self.side_length)
         enc, mask = self.encoder.encode(caption)
         return {"image": img, "encoding": enc, "mask": mask}
 

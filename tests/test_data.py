@@ -188,3 +188,75 @@ def test_dataset_cache_roundtrip(tmp_path):
                     collate_fn=MinimagenCollator(max_length=32))
     batch = next(iter(dl))
     assert batch["image"].shape[0] == 2
+
+
+# --------------------------------------------------------------------------- #
+# held-out caption combos (round-5: caption-generalization eval protocol)     #
+# --------------------------------------------------------------------------- #
+def test_holdout_split_deterministic_partition():
+    from minimagen_tpu.data.dataset import NUM_SYNTH_COMBOS, holdout_split
+
+    train, held = holdout_split(3)
+    train2, held2 = holdout_split(3)
+    assert held == held2 and train == train2  # deterministic
+    assert len(held) == 3 and len(train) == NUM_SYNTH_COMBOS - 3
+    assert sorted(train + held) == list(range(NUM_SYNTH_COMBOS))
+
+
+def test_combo_caption_matches_draw():
+    from minimagen_tpu.data.dataset import (
+        NUM_SYNTH_COMBOS,
+        _draw_synthetic,
+        synthetic_combo_caption,
+    )
+
+    for c in range(NUM_SYNTH_COMBOS):
+        _, cap = _draw_synthetic(c, 8)
+        assert cap == synthetic_combo_caption(c)
+
+
+def test_combo_restricted_dataset_never_yields_held_out_pairs():
+    from minimagen_tpu.data.dataset import holdout_split, synthetic_combo_caption
+
+    train, held = holdout_split(3)
+    held_caps = {synthetic_combo_caption(c) for c in held}
+    ds = SyntheticCaptionedImages(num_items=64, side_length=8,
+                                  encoder_name="t5_small", max_length=8,
+                                  combos=train)
+    ds_caps = set()
+    encs = {}
+    for i in range(len(ds)):
+        item = ds[i]
+        key = item["encoding"].tobytes()
+        encs.setdefault(key, []).append(i)
+    # recover captions via the underlying index (same combo cycle)
+    from minimagen_tpu.data.dataset import _draw_synthetic
+
+    for i in range(len(ds)):
+        _, cap = _draw_synthetic(ds._underlying_index(i), 8)
+        ds_caps.add(cap)
+    assert ds_caps.isdisjoint(held_caps)
+    assert len(ds_caps) == len(train)  # full coverage of the training combos
+
+
+def test_combo_restricted_dataset_deterministic_with_instance_variety():
+    from minimagen_tpu.data.dataset import holdout_split
+
+    train, _ = holdout_split(3)
+    ds = SyntheticCaptionedImages(num_items=64, side_length=8,
+                                  encoder_name="t5_small", max_length=8,
+                                  combos=train)
+    a, b = ds[5], ds[5]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    # same combo, different block -> same caption, different instance
+    i, j = 5, 5 + len(train)
+    np.testing.assert_array_equal(ds[i]["encoding"], ds[j]["encoding"])
+    assert np.abs(ds[i]["image"] - ds[j]["image"]).max() > 0.05
+
+
+def test_combos_none_preserves_legacy_indexing():
+    ds_plain = _synth(8)
+    ds_none = SyntheticCaptionedImages(num_items=8, side_length=16,
+                                       encoder_name="t5_small", max_length=32,
+                                       combos=None)
+    np.testing.assert_array_equal(ds_plain[3]["image"], ds_none[3]["image"])
