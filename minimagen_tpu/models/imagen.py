@@ -223,6 +223,23 @@ class Imagen:
         self._jit_cache: Dict[Any, Any] = {}
         self._progress_bar = None  # installed per stage by sample(progress=True)
 
+    def set_training_levers(self, *, min_snr_gamma: Optional[float] = None,
+                            offset_noise_scale: Optional[float] = None) -> None:
+        """Apply the statically-gated training-quality levers after
+        construction, with the SAME validation as the constructor (so CLI
+        restart paths / external trainers can't bypass the gamma>0 /
+        scale>=0 asserts by attribute assignment). `None` leaves a lever
+        unchanged; changing either retraces the training graph."""
+        if min_snr_gamma is not None:
+            gamma = float(min_snr_gamma)
+            assert gamma > 0.0, "min_snr_gamma must be > 0"
+            self.min_snr_gamma = gamma
+            self.per_sample_loss_fn = _per_sample_loss_fn(self.loss_type)
+        if offset_noise_scale is not None:
+            scale = float(offset_noise_scale)
+            assert scale >= 0.0, "offset_noise_scale must be >= 0"
+            self.offset_noise_scale = scale
+
     # ------------------------------------------------------------------ #
     # params                                                              #
     # ------------------------------------------------------------------ #
@@ -1146,14 +1163,19 @@ class Imagen:
         scheduler = self.noise_schedulers[stage]
         noise_key, lowres_key, drop_key = jax.random.split(key, 3)
 
-        noise = default(noise, lambda: jax.random.normal(noise_key, x_start.shape, jnp.float32))
-        if self.offset_noise_scale > 0.0:  # static gate: 0 = exact reference noise
-            # per-(sample, channel) bias broadcast over H×W; folded key keeps
-            # the scale=0 path's PRNG stream untouched
-            off = jax.random.normal(jax.random.fold_in(noise_key, 1),
-                                    (x_start.shape[0],) + (1,) * (x_start.ndim - 2)
-                                    + (x_start.shape[-1],), jnp.float32)
-            noise = noise + self.offset_noise_scale * off
+        if noise is None:
+            noise = jax.random.normal(noise_key, x_start.shape, jnp.float32)
+            if self.offset_noise_scale > 0.0:  # static gate: 0 = exact reference noise
+                # per-(sample, channel) bias broadcast over H×W; folded key keeps
+                # the scale=0 path's PRNG stream untouched. Only applied to
+                # internally drawn noise: an explicit `noise=` kwarg (the
+                # cross-framework parity hook) is used verbatim, so parity
+                # tests can feed exact reference noise even on an
+                # offset-enabled model.
+                off = jax.random.normal(jax.random.fold_in(noise_key, 1),
+                                        (x_start.shape[0],) + (1,) * (x_start.ndim - 2)
+                                        + (x_start.shape[-1],), jnp.float32)
+                noise = noise + self.offset_noise_scale * off
         x_start = self.normalize_img(x_start)
         lowres_cond_img = maybe(self.normalize_img)(lowres_cond_img)
 

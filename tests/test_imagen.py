@@ -725,3 +725,56 @@ def test_offset_noise_exactness_and_equivalence():
     with pytest.raises(AssertionError):
         Imagen(unets=[BaseTest()], image_sizes=8, timesteps=25,
                text_encoder_name="t5_small", offset_noise_scale=-0.1)
+
+
+def test_offset_noise_not_applied_to_explicit_noise_kwarg():
+    """An explicit noise= kwarg (the cross-framework parity hook) is used
+    VERBATIM even on an offset-enabled model, so parity tests can feed exact
+    reference noise (round-4 ADVICE #4): offset model + explicit noise ==
+    plain model + the same explicit noise."""
+    plain = _single_stage()
+    offset_model = Imagen(unets=[BaseTest()], image_sizes=8, timesteps=25,
+                          cond_drop_prob=0.15, text_encoder_name="t5_small",
+                          offset_noise_scale=0.3)
+    offset_model.params = plain.params
+
+    x, embeds, mask = _batch(size=8)
+    key = jax.random.PRNGKey(33)
+    noise = jax.random.normal(jax.random.PRNGKey(7), x.shape, jnp.float32)
+    kw = dict(key=key, text_embeds=embeds, text_mask=mask, noise=noise)
+    t = jnp.array([5, 17], jnp.int32)
+    got = float(offset_model._p_losses(0, plain.params["unet_0"], x, t, **kw))
+    want = float(plain._p_losses(0, plain.params["unet_0"], x, t, **kw))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_set_training_levers_validates_like_ctor():
+    """set_training_levers (the post-construction lever path used by the
+    restart CLI and the flagship trainer) runs the SAME validation as the
+    ctor — round-4 ADVICE #1/#3: attribute assignment silently accepted
+    gamma<=0 (negative loss weights = gradient ascent)."""
+    im = _single_stage()
+    with pytest.raises(AssertionError):
+        im.set_training_levers(min_snr_gamma=0.0)
+    with pytest.raises(AssertionError):
+        im.set_training_levers(min_snr_gamma=-1.0)
+    with pytest.raises(AssertionError):
+        im.set_training_levers(offset_noise_scale=-0.1)
+
+    # valid values apply exactly like the ctor (same loss on the same batch)
+    im.set_training_levers(min_snr_gamma=5.0, offset_noise_scale=0.1)
+    assert im.min_snr_gamma == 5.0 and im.offset_noise_scale == 0.1
+    ctor = Imagen(unets=[BaseTest()], image_sizes=8, timesteps=25,
+                  cond_drop_prob=0.15, text_encoder_name="t5_small",
+                  min_snr_gamma=5.0, offset_noise_scale=0.1)
+    ctor.params = im.params
+    x, embeds, mask = _batch(size=8)
+    kw = dict(key=jax.random.PRNGKey(3), text_embeds=embeds, text_mask=mask)
+    t = jnp.array([5, 17], jnp.int32)
+    np.testing.assert_allclose(
+        float(im._p_losses(0, im.params["unet_0"], x, t, **kw)),
+        float(ctor._p_losses(0, im.params["unet_0"], x, t, **kw)), rtol=1e-6)
+
+    # None leaves levers untouched
+    im.set_training_levers()
+    assert im.min_snr_gamma == 5.0 and im.offset_noise_scale == 0.1

@@ -126,6 +126,13 @@ def main():
         unets_params, imagen_params = load_params(orig_train_dir)
         imagen_params = {k: v for k, v in imagen_params.items() if k != "unets"}
         imagen = load_minimagen(orig_train_dir)
+        # CLI lever overrides apply on restarts too (same precedence as the
+        # fresh-start branch: CLI > saved JSON), with the ctor's validation
+        if args.MIN_SNR_GAMMA is not None or args.OFFSET_NOISE is not None:
+            imagen.set_training_levers(min_snr_gamma=args.MIN_SNR_GAMMA,
+                                       offset_noise_scale=args.OFFSET_NOISE)
+            imagen_params["min_snr_gamma"] = imagen.min_snr_gamma
+            imagen_params["offset_noise_scale"] = imagen.offset_noise_scale
     unets = imagen.unet_configs
 
     # complete config dicts with defaults (reference train.py:89-91)
