@@ -11,7 +11,11 @@ visibility is tqdm bars + prints).  Here:
 """
 from __future__ import annotations
 
+import glob
+import os
+import re
 import time
+from collections import defaultdict
 from contextlib import contextmanager
 from typing import Dict, List, Optional
 
@@ -26,6 +30,106 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# --------------------------------------------------------------------------- #
+# xplane trace analysis (trace-derived device time — the repo's timing rule:  #
+# wall clocks through the remote-TPU tunnel carry 0.1-0.3 s/dispatch jitter,  #
+# BASELINE.md "train-throughput methodology")                                 #
+# --------------------------------------------------------------------------- #
+def find_xplane(logdir: str) -> str:
+    """Newest serialized XSpace under a trace logdir."""
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane.pb under {logdir}"
+    return max(paths, key=os.path.getmtime)
+
+
+# the op kind is the identifier between the (possibly tuple) result shape and
+# the operand list: "%x = bf16[...]{...} fusion(...)", "%y = (f32[..], ..) sort(..."
+_KIND_RE = re.compile(r"[}\)]\s*([a-z][a-z-]*)\(")
+
+
+def op_category(op_name: str) -> str:
+    """Coarse op-category from an XLA op's trace name.
+
+    Uses the instruction KIND (the token before the operand list), not a
+    substring of the whole expression — operand text routinely contains
+    'custom-call'/'fusion' and would misattribute."""
+    head = op_name.split(" = ", 1)
+    label = head[0].lower()
+    if "attn" in label:
+        return "attention"
+    kind = None
+    if len(head) == 2:
+        m = _KIND_RE.search(head[1])
+        if m:
+            kind = m.group(1)
+    kind = kind or ""
+    if kind == "fusion":
+        if "convolution" in label:
+            return "conv"
+        return "fusion"
+    for key, cat in [
+        ("convolution", "conv"), ("custom-call", "custom-call"),
+        ("dot", "matmul"), ("reduce", "reduce"), ("scatter", "scatter"),
+        ("gather", "gather"), ("copy", "copy"), ("transpose", "transpose"),
+        ("all-reduce", "collective"), ("all-gather", "collective"),
+        ("rng", "rng"), ("sort", "sort"),
+    ]:
+        if key in kind or key in label:
+            return cat
+    return "other"
+
+
+def summarize_xplane(path: str, top: int = 10):
+    """Aggregate device-plane op durations from a serialized XSpace.
+
+    The device plane has two op lines: 'XLA Ops' (the synchronous compute
+    timeline — its sum IS device busy time) and 'Async XLA Ops' (DMA/copy
+    ops that overlap compute; summing them with compute double-counts).
+    Returns (sync_total_s, async_total_s, top_ops, cats) with top/cats taken
+    from the sync line only.
+    """
+    data = jax.profiler.ProfileData.from_file(path)
+    per_op = defaultdict(float)
+    per_cat = defaultdict(float)
+    sync_total = 0.0
+    async_total = 0.0
+    for plane in data.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            lname = line.name.lower()
+            if lname == "xla ops":
+                for event in line.events:
+                    dur = event.duration_ns / 1e9
+                    per_op[event.name] += dur
+                    per_cat[op_category(event.name)] += dur
+                    sync_total += dur
+            elif lname == "async xla ops":
+                async_total += sum(e.duration_ns for e in line.events) / 1e9
+    top_ops = sorted(per_op.items(), key=lambda kv: -kv[1])[:top]
+    cats = sorted(per_cat.items(), key=lambda kv: -kv[1])
+    return sync_total, async_total, top_ops, cats
+
+
+def traced_device_seconds(run, logdir: Optional[str] = None) -> Optional[float]:
+    """Run `run()` under a profiler trace and return its synchronous device
+    busy time in seconds — the honest per-call cost figure for committed
+    metrics (round-4 VERDICT weak #3: wall columns through the tunnel are
+    dispatch-noise garbage). Returns None when no device plane produced
+    events (e.g. pure-CPU smoke runs, whose planes carry no 'XLA Ops' line).
+    """
+    import tempfile
+
+    logdir = logdir or tempfile.mkdtemp(prefix="xplane_eval_")
+    with trace(logdir):
+        run()
+    try:
+        sync_total, _, _, _ = summarize_xplane(find_xplane(logdir))
+    except AssertionError:
+        return None
+    return sync_total if sync_total > 0 else None
 
 
 def annotate(name: str):
