@@ -95,7 +95,7 @@ def bench_denoise(imagen, steps: int, batch: int):
     return 1.0 / sec_per_step, mfu
 
 
-def bench_train(imagen, steps: int, batch: int = 8):
+def bench_train(imagen, steps: int, batch: int = 8, mu_dtype=None):
     import optax
 
     from minimagen_tpu.parallel.mesh import GRAD_CLIP_NORM
@@ -103,7 +103,8 @@ def bench_train(imagen, steps: int, batch: int = 8):
     L = 64
     imagen.init_params(jax.random.PRNGKey(0), batch_size=2, text_len=L, stages=[0])
     loss_fn = imagen.stage_loss_fn(0)
-    opt = optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM), optax.adam(1e-4))
+    opt = optax.chain(optax.clip_by_global_norm(GRAD_CLIP_NORM),
+                      optax.adam(1e-4, mu_dtype=mu_dtype))
     params = imagen.params["unet_0"]
     opt_state = opt.init(params)
     rng = np.random.default_rng(0)
@@ -181,6 +182,19 @@ def main():
     denoise_sps, mfu = bench_denoise(imagen, steps, batch)
     train_sps, train_mfu = bench_train(_flagship_imagen(dtype=dtype), steps)
 
+    # the PRODUCTION training recipe measured in-run (round-4 VERDICT next
+    # #6): batch 32 + bf16 Adam mu (`train.py --MU_DTYPE bf16`) — the
+    # batch-8 row above is the roofline-comparison configuration, this row
+    # is what a real run ships with (BASELINE.md train sweep: ~416 img/s)
+    train32_sps = train32_mfu = None
+    if os.environ.get("BENCH_TRAIN32", "1") != "0":
+        try:
+            train32_sps, train32_mfu = bench_train(
+                _flagship_imagen(dtype=dtype), steps, batch=32,
+                mu_dtype=jnp.bfloat16)
+        except Exception as e:
+            print(f"train batch-32 bench failed: {e}", flush=True)
+
     cascade_s = None
     if os.environ.get("BENCH_CASCADE", "1") != "0":
         try:
@@ -219,6 +233,11 @@ def main():
             "train_steps_per_sec_batch8": round(train_sps, 3),
             "train_mfu_vs_197tflops": (
                 round(train_mfu, 4) if train_mfu is not None else None),
+            # production recipe: batch 32 + bf16 Adam mu (--MU_DTYPE bf16)
+            "train_images_per_sec_batch32_bf16mu": (
+                round(train32_sps * 32, 1) if train32_sps is not None else None),
+            "train_mfu_batch32_bf16mu": (
+                round(train32_mfu, 4) if train32_mfu is not None else None),
             "cascade_64_256_ddim50_s_per_image": (
                 round(cascade_s, 3) if cascade_s is not None else None),
             "mfu_vs_197tflops": round(mfu, 4) if mfu is not None else None,
