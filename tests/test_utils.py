@@ -29,8 +29,14 @@ def test_step_timer_empty():
 
 
 def test_t5_registry_matches_reference_surface():
-    """10 variants with the reference dims (t5.py:10-21)."""
-    assert len(T5_VERSIONS) == 10
+    """The reference's 10 variants with its dims (t5.py:10-21) must all be
+    present; extensions beyond them are allowed only for committed-in-repo
+    `local:` encoders (round 5: t5_tiny, the REAL offline tiny T5)."""
+    reference = {"t5_small", "t5_base", "t5_large", "t5_3b", "t5_11b",
+                 "small1.1", "base1.1", "large1.1", "xl1.1", "xxl1.1"}
+    assert reference <= set(T5_VERSIONS)
+    for name in set(T5_VERSIONS) - reference:
+        assert T5_VERSIONS[name]["handle"].startswith("local:"), name
     assert get_encoded_dim("t5_small") == 512
     assert get_encoded_dim("t5_base") == 768
     assert get_encoded_dim("t5_11b") == 1024
