@@ -318,29 +318,42 @@ def eval_fullrev(imagen, embeds, masks, captions, outdir, results):
 
 
 def eval_holdout(imagen, config, outdir, results):
-    """Caption generalization (round-4 VERDICT next #3): the SAME cascade
-    graph sampled with captions from TRAINED combos vs combos the model
-    NEVER saw (holdout_split). A memorizer matches colors only on trained
-    combos; a generalizing text-conditioned model matches both."""
+    """Caption generalization (round-4 VERDICT next #3): identical sampling
+    graphs fed captions from TRAINED combos vs combos the model NEVER saw
+    (holdout_split). A memorizer matches colors only on trained combos; a
+    generalizing text-conditioned model matches both. Measured on the BASE
+    stage (64px) and the truncated-SR cascade — the two converged serving
+    paths; the full-reverse cascade is excluded because its unconverged SR
+    noise floors the color metric for BOTH splits (see the fullrev section),
+    which would mask any train/held gap."""
     held = config.get("held_combos") or []
     if not held:
         print("holdout: run was trained without --holdout; skipping", flush=True)
         return
     trained = [c for c in ALL_COMBOS if c not in held]
     name, L = imagen.text_encoder_name, config.get("max_length", 16)
+    base = base_only(imagen)
     key = jax.random.PRNGKey(23)
     for tag, combos in (("trained", trained), ("held", held)):
         caps = captions_for(combos, 8)
         embeds, masks = encode(caps, name, L)
-        out, _, _ = timed_sample(imagen, embeds, masks, key, sampler="ddim",
-                                 sample_steps=50, cache_interval=None)
-        m = color_metric(out, caps)
+        bout, _, _ = timed_sample(base, embeds, masks, key, sampler="ddim",
+                                  sample_steps=50, cache_interval=None)
+        cout, _, _ = timed_sample(imagen, embeds, masks, key, sampler="ddim",
+                                  sample_steps=50, cache_interval=None,
+                                  sr_start_noise_levels=0.2)
+        mb, mc = color_metric(bout, caps), color_metric(cout, caps)
         results[f"holdout/{tag}"] = _row(
-            m, grad_mean=round(grad_mean(out), 4),
+            None, base64_color_dist=round(mb, 4),
+            trunc_cascade_color_dist=round(mc, 4),
+            trunc_cascade_grad_mean=round(grad_mean(cout), 4),
             captions=sorted(set(caps)))
         save_png(os.path.join(outdir, f"holdout_{tag}.png"),
-                 np.concatenate(list(out[:4]), axis=1))
-        print(f"holdout/{tag}: color {m:.4f} ({sorted(set(caps))})", flush=True)
+                 np.concatenate(list(cout[:4]), axis=1))
+        save_png(os.path.join(outdir, f"holdout_{tag}_base64.png"),
+                 np.concatenate(list(bout[:4]), axis=1))
+        print(f"holdout/{tag}: base64 {mb:.4f}, trunc-cascade {mc:.4f} "
+              f"({sorted(set(caps))})", flush=True)
 
 
 def eval_recipe(imagen, embeds, masks, captions, outdir, results):
